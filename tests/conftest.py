@@ -1,0 +1,9 @@
+"""Test configuration: run JAX on CPU with a virtual 8-device mesh so
+sharding / context-parallel tests work without TPU hardware."""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
