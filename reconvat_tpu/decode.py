@@ -1,0 +1,123 @@
+"""Posteriogram -> note-event decoding (host side, vectorized numpy).
+
+Reproduces the reference decoding semantics exactly (reference
+`model/decoding.py:4-130`) but replaces the per-note Python while-loop with
+vectorized scans, so full-song decoding is O(T*P) numpy instead of a
+Python-interpreter hot loop.
+
+Semantics preserved bit-for-bit:
+  * thresholds are strict `>` comparisons;
+  * `onset_diff` keeps only rising edges (first frame counts as an edge);
+  * rule1 additionally requires the frame channel active at the onset,
+    rule2 does not;
+  * a note extends while (onset | frame) stays active and ends at the first
+    inactive step (or the end of the roll);
+  * notes are emitted in row-major (time, pitch) order of their onsets.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _as_bool(x, threshold):
+    x = np.asarray(x)
+    return x > threshold
+
+
+def _next_inactive(active: np.ndarray) -> np.ndarray:
+    """For boolean (T, P): index of the first inactive step at or after t.
+
+    Returns int array (T+1, P); value T means "active through the end".
+    """
+    T, P = active.shape
+    idx = np.where(~active, np.arange(T)[:, None], T).astype(np.int64)
+    # reverse cumulative minimum: first inactive index >= t
+    nz = np.minimum.accumulate(idx[::-1], axis=0)[::-1]
+    return np.concatenate([nz, np.full((1, P), T, dtype=np.int64)], axis=0)
+
+
+def extract_notes_wo_velocity(onsets, frames, onset_threshold=0.5,
+                              frame_threshold=0.5, rule="rule1"):
+    """Find note (pitch, [onset, offset]) events from onset/frame rolls.
+
+    onsets, frames: float arrays (T, P). Returns (pitches (N,), intervals
+    (N, 2)) in frame indices, matching reference
+    `extract_notes_wo_velocity` (`model/decoding.py:4-55`).
+    """
+    on = _as_bool(onsets, onset_threshold)
+    fr = _as_bool(frames, frame_threshold)
+
+    onset_diff = np.concatenate([on[:1], on[1:] & ~on[:-1]], axis=0)
+    if rule == "rule2":
+        pass
+    elif rule == "rule1":
+        onset_diff = onset_diff & fr
+    else:
+        raise NameError("Please enter the correct rule name")
+
+    starts = np.argwhere(onset_diff)  # row-major (t, p), sorted by t then p
+    if len(starts) == 0:
+        return np.array([]), np.array([])
+
+    active = on | fr
+    nz = _next_inactive(active)
+    t, p = starts[:, 0], starts[:, 1]
+    offsets = nz[t, p]
+
+    keep = offsets > t
+    pitches = p[keep]
+    intervals = np.stack([t[keep], offsets[keep]], axis=1)
+    return pitches, intervals
+
+
+def extract_notes(onsets, frames, velocity, onset_threshold=0.5,
+                  frame_threshold=0.5):
+    """Note events + mean onset-channel velocity per note.
+
+    Matches reference `extract_notes` (`model/decoding.py:58-106`): velocity
+    samples are collected at steps where the onset channel stays active
+    within [onset, offset).
+    """
+    on = _as_bool(onsets, onset_threshold)
+    fr = _as_bool(frames, frame_threshold)
+    velocity = np.asarray(velocity)
+
+    onset_diff = np.concatenate([on[:1], on[1:] & ~on[:-1]], axis=0)
+    starts = np.argwhere(onset_diff)
+    if len(starts) == 0:
+        return np.array([]), np.array([]), np.array([])
+
+    active = on | fr
+    nz = _next_inactive(active)
+    t, p = starts[:, 0], starts[:, 1]
+    offsets = nz[t, p]
+
+    # cumulative sums for velocity averaging over active-onset steps
+    onf = on.astype(np.float64)
+    cs_v = np.concatenate([np.zeros((1,) + on.shape[1:]),
+                           np.cumsum(velocity * onf, axis=0)], axis=0)
+    cs_n = np.concatenate([np.zeros((1,) + on.shape[1:]),
+                           np.cumsum(onf, axis=0)], axis=0)
+
+    keep = offsets > t
+    t, p, offsets = t[keep], p[keep], offsets[keep]
+    vsum = cs_v[offsets, p] - cs_v[t, p]
+    vcnt = cs_n[offsets, p] - cs_n[t, p]
+    vels = np.where(vcnt > 0, vsum / np.maximum(vcnt, 1), 0.0)
+
+    intervals = np.stack([t, offsets], axis=1)
+    return p, intervals, vels
+
+
+def notes_to_frames(pitches, intervals, shape):
+    """Note list -> per-frame active-pitch lists for multipitch metrics.
+
+    Matches reference `notes_to_frames` (`model/decoding.py:109-130`).
+    """
+    roll = np.zeros(tuple(shape))
+    for pitch, (onset, offset) in zip(pitches, intervals):
+        roll[onset:offset, pitch] = 1
+
+    time = np.arange(roll.shape[0])
+    freqs = [roll[t, :].nonzero()[0] for t in time]
+    return time, freqs
