@@ -1,0 +1,139 @@
+"""Local windowed multi-head self-attention, TPU-blocked.
+
+Functionally equivalent to the reference `MutliHeadAttention1D`
+(`model/self_attention.py:6-82`): window-31 attention where K/V come from a
+zero-padded sequence, a learned relative-position embedding is added to K,
+and energies are plain dot products (no 1/sqrt(d) scaling).
+
+TPU-first implementation: instead of unfolding K/V into (B, L, F, W) windows
+(a 31x memory blowup and a gather), the sequence is cut into time blocks and
+each block does one dense (block, ctx) = (block, block + W - 1) MXU matmul
+against its halo-extended context, with a banded mask. Memory is O(L * ctx)
+and both contractions run on the MXU.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
+                     return_probs: bool = True,
+                     precision=jax.lax.Precision.HIGHEST):
+    """Banded local attention core.
+
+    q:    (B, L, H, Dh)
+    kpad: (B, L + window - 1, H, Dh) — keys, zero-padded (window-1)//2 per side
+    vpad: same shape as kpad — values with identical padding
+    rel:  (H, Dh, window) relative position embedding added to K, or None
+
+    Returns (out (B, L, H, Dh), probs (B, L, H, window) or None).
+    """
+    B, L, H, Dh = q.shape
+    W = window
+    hw = (W - 1) // 2
+    bs = min(block_size, max(8, L))
+    nb = _cdiv(L, bs)
+    Lp = nb * bs
+    ctx = bs + 2 * hw
+
+    qb = jnp.pad(q, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
+    qb = qb.reshape(B, nb, bs, H, Dh)
+    kp = jnp.pad(kpad, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
+    vp = jnp.pad(vpad, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
+
+    # halo-extended context blocks: block i sees [i*bs, i*bs + ctx)
+    kctx = jnp.stack([jax.lax.slice_in_dim(kp, i * bs, i * bs + ctx, axis=1)
+                      for i in range(nb)], axis=1)
+    vctx = jnp.stack([jax.lax.slice_in_dim(vp, i * bs, i * bs + ctx, axis=1)
+                      for i in range(nb)], axis=1)
+
+    scores = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, kctx, precision=precision)
+
+    rows = np.arange(bs)[:, None]
+    cols = np.arange(ctx)[None, :]
+    offs = cols - rows                       # window offset j = col - row
+    band = (offs >= 0) & (offs < W)
+
+    if rel is not None:
+        qrel = jnp.einsum("bnqhd,hdw->bnhqw", qb, rel, precision=precision)
+        idx = jnp.asarray(np.clip(offs, 0, W - 1))
+        bias = jnp.take_along_axis(
+            qrel, idx[None, None, None, :, :], axis=-1)
+        scores = scores + bias
+
+    scores = jnp.where(jnp.asarray(band)[None, None, None], scores,
+                       -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, vctx, precision=precision)
+    out = out.reshape(B, Lp, H, Dh)[:, :L]
+
+    attn = None
+    if return_probs:
+        # extract the (row, row+j) band back into (B, L, H, W)
+        gather_idx = jnp.asarray(rows + np.arange(W)[None, :])  # (bs, W)
+        attn = jnp.take_along_axis(probs, gather_idx[None, None, None],
+                                   axis=-1)
+        attn = attn.transpose(0, 1, 3, 2, 4).reshape(B, Lp, H, W)[:, :L]
+    return out, attn
+
+
+class MultiHeadAttention1D(nn.Module):
+    """Drop-in counterpart of reference `MutliHeadAttention1D`.
+
+    Input (B, L, in_features) -> (out (B, L, out_features),
+    attention (B, L, groups, kernel_size)).
+    """
+    out_features: int
+    kernel_size: int = 31
+    groups: int = 1
+    position: bool = True
+    use_bias: bool = False
+    block_size: int = 128
+    return_probs: bool = True
+
+    def setup(self):
+        assert self.out_features % self.groups == 0
+        assert (self.kernel_size - 1) % 2 == 0, "kernel size must be odd"
+        kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        self.W_k = nn.Dense(self.out_features, use_bias=self.use_bias,
+                            kernel_init=kaiming)
+        self.W_q = nn.Dense(self.out_features, use_bias=self.use_bias,
+                            kernel_init=kaiming)
+        self.W_v = nn.Dense(self.out_features, use_bias=self.use_bias,
+                            kernel_init=kaiming)
+        if self.position:
+            self.rel = self.param(
+                "rel", nn.initializers.normal(1.0),
+                (1, self.out_features, self.kernel_size))
+
+    def __call__(self, x):
+        B, L, _ = x.shape
+        H = self.groups
+        Dh = self.out_features // H
+        hw = (self.kernel_size - 1) // 2
+
+        # K/V from the zero-padded sequence (reference pads x before the
+        # bias-free projections, `model/self_attention.py:44-47`).
+        xpad = jnp.pad(x, ((0, 0), (hw, hw), (0, 0)))
+        q = self.W_q(x).reshape(B, L, H, Dh)
+        k = self.W_k(xpad).reshape(B, L + 2 * hw, H, Dh)
+        v = self.W_v(xpad).reshape(B, L + 2 * hw, H, Dh)
+
+        rel = None
+        if self.position:
+            rel = self.rel[0].reshape(H, Dh, self.kernel_size)
+
+        out, attn = banded_attention(q, k, v, rel, self.kernel_size,
+                                     self.block_size, self.return_probs)
+        out = out.reshape(B, L, self.out_features)
+        if attn is None:
+            return out, None
+        return out, attn
