@@ -1,0 +1,27 @@
+"""Loss primitives matching torch semantics."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def binary_cross_entropy(pred, target):
+    """Mean BCE on probabilities; log clamped at -100 like torch
+    `F.binary_cross_entropy`."""
+    logp = jnp.maximum(jnp.log(pred), -100.0)
+    log1mp = jnp.maximum(jnp.log(1.0 - pred), -100.0)
+    return -jnp.mean(target * logp + (1.0 - target) * log1mp)
+
+
+def mse_loss(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+def binary_kl_div(y_pred, y_ref):
+    """Per-bin Bernoulli KL(q_pred || p_ref), torch `reduction='batchmean'`
+    semantics (sum / batch). Reference `model/self_attention_VAT.py:248-255`."""
+    y_pred = jnp.clip(y_pred, 1e-4, 0.9999)
+    y_ref = jnp.clip(y_ref, 1e-4, 0.9999)
+    q = jnp.stack((y_pred, 1 - y_pred), -1)
+    p = jnp.stack((y_ref, 1 - y_ref), -1)
+    kl = q * (jnp.log(q) - jnp.log(p))
+    return jnp.sum(kl) / y_pred.shape[0]

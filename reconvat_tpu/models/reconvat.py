@@ -1,0 +1,263 @@
+"""ReconVAT: U-Net transcriber + reconstruction consistency + VAT.
+
+Port target: reference `UNet` (`model/self_attention_VAT.py:1014-1325`) with
+`Spec2Roll` / `Roll2Spec` (`:929-969`). Flax submodule names match the torch
+state_dict so released weights convert via `train.torch_convert`.
+
+Architecture (all activations NHWC, time = H axis):
+    spec (B,T,F,1) -> Spec2Roll: U-Net -> local window-31 attention over bins
+    -> linear -> sigmoid -> pianoroll (B,T,88)
+    if reconstruction: Roll2Spec(pianoroll) -> reconstruction (B,T,F,1)
+                       Spec2Roll(reconstruction) -> pianoroll2
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..nn.attention import MultiHeadAttention1D
+from ..nn.unet import Decoder, Encoder, torch_conv_init
+from ..ops.normalize import Normalization
+from ..ops.spectrogram import make_frontend
+from ..vat import VATConfig, vat_loss
+from .losses import binary_cross_entropy, mse_loss
+
+N_KEYS = C.N_KEYS
+
+
+class Spec2Roll(nn.Module):
+    """Reference `Spec2Roll` (`model/self_attention_VAT.py:929-945`)."""
+    n_bins: int = C.N_BINS
+    complexity: int = 4
+    attn_block_size: int = 128
+
+    def setup(self):
+        self.Unet1_encoder = Encoder()
+        self.Unet1_decoder = Decoder(num_instruments=1)
+        self.lstm1 = MultiHeadAttention1D(
+            out_features=self.n_bins * self.complexity, kernel_size=31,
+            groups=self.complexity, block_size=self.attn_block_size)
+        self.linear1 = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
+
+    def __call__(self, x, train: bool = False):
+        z, s, c = self.Unet1_encoder(x, train)
+        y = self.Unet1_decoder(z, s, c, train)          # (B, T, F, 1)
+        h, a = self.lstm1(y[..., 0])
+        pianoroll = nn.sigmoid(self.linear1(h))
+        return pianoroll, a
+
+
+class Roll2Spec(nn.Module):
+    """Reference `Roll2Spec` (`model/self_attention_VAT.py:947-969`)."""
+    n_bins: int = C.N_BINS
+    complexity: int = 4
+    attn_block_size: int = 128
+
+    def setup(self):
+        self.Unet2_encoder = Encoder()
+        self.Unet2_decoder = Decoder(num_instruments=1)
+        self.lstm2 = MultiHeadAttention1D(
+            out_features=self.n_bins * self.complexity, kernel_size=31,
+            groups=4, block_size=self.attn_block_size)
+        self.linear2 = nn.Dense(self.n_bins, kernel_init=torch_conv_init)
+
+    def __call__(self, x, train: bool = False):
+        h, a = self.lstm2(x)
+        spec = nn.sigmoid(self.linear2(h))              # (B, T, F)
+        z, s, c = self.Unet2_encoder(spec[..., None], train)
+        reconstruction = self.Unet2_decoder(z, s, c, train)
+        return reconstruction, a
+
+
+class UNet(nn.Module):
+    """Reference `UNet` forward (`model/self_attention_VAT.py:1061-1086`)."""
+    n_bins: int = C.N_BINS
+    reconstruction: bool = True
+    attn_block_size: int = 128
+
+    def setup(self):
+        self.transcriber = Spec2Roll(self.n_bins,
+                                     attn_block_size=self.attn_block_size)
+        if self.reconstruction:
+            self.reconstructor = Roll2Spec(
+                self.n_bins, attn_block_size=self.attn_block_size)
+
+    def __call__(self, x, train: bool = False):
+        pianoroll, a = self.transcriber(x, train)
+        if self.reconstruction:
+            reconstruction, _ = self.reconstructor(pianoroll, train)
+            pianoroll2, _ = self.transcriber(reconstruction, train)
+            return reconstruction, pianoroll, pianoroll2, a
+        return pianoroll, a
+
+    def transcribe_frames(self, x, train: bool = False):
+        """Transcriber-only path attacked by VAT
+        (reference `UNet_VAT.forward`, `model/self_attention_VAT.py:162-202`)."""
+        pianoroll, _ = self.transcriber(x, train)
+        return pianoroll
+
+
+@dataclasses.dataclass
+class ReconVAT:
+    """The flagship model + its signal chain and batch contract.
+
+    Mirrors the reference constructor flags
+    (`model/self_attention_VAT.py:1015`).
+    """
+    log: bool = True
+    reconstruction: bool = True
+    mode: str = "imagewise"
+    spec: str = "Mel"
+    xi: float = 1e-6
+    eps: float = 2.0
+    kl_div: bool = False
+    attn_block_size: int = 128
+    n_heads: int = 4  # for attention visualization metadata
+
+    def __post_init__(self):
+        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.module = UNet(n_bins=self.n_bins,
+                           reconstruction=self.reconstruction,
+                           attn_block_size=self.attn_block_size)
+        self.normalize = Normalization(self.mode)
+        # spec image is (B, T, F, 1): the per-vector L2 norm of the VAT
+        # perturbation runs over the bins axis like the reference's
+        # dim=-1 on (B, 1, T, F).
+        self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
+                                 kl_div=self.kl_div, norm_axis=2)
+
+    # -- plumbing ----------------------------------------------------------
+    def init(self, key, seq_frames: int = 640):
+        dummy = jnp.zeros((1, seq_frames, self.n_bins, 1))
+        return self.module.init(key, dummy, train=False)
+
+    def make_spec(self, audio):
+        """audio (B, N) float in [-1, 1] -> normalized log-spec (B,T,F,1).
+
+        Drops the final sample so 327680-sample crops give exactly 640
+        frames (reference `model/self_attention_VAT.py:1112`).
+        """
+        spec = self.frontend(audio[:, :-1])
+        if self.log:
+            spec = jnp.log(spec + 1e-5)
+        spec = self.normalize(spec)
+        return spec[..., None]
+
+    def _apply(self, variables, x, train: bool):
+        if train:
+            out, updates = self.module.apply(variables, x, train=True,
+                                             mutable=["batch_stats"])
+            return out, updates.get("batch_stats")
+        return self.module.apply(variables, x, train=False), None
+
+    def _transcriber_fn(self, variables, train: bool):
+        """VAT target: transcriber-only forward, batch-stat updates
+        discarded (BN uses batch statistics but the model state does not
+        drift during the adversarial search)."""
+        def fn(x):
+            if train:
+                out, _ = self.module.apply(
+                    variables, x, train=True, mutable=["batch_stats"],
+                    method=UNet.transcribe_frames)
+                return out
+            return self.module.apply(variables, x, train=False,
+                                     method=UNet.transcribe_frames)
+        return fn
+
+    # -- batch contract ------------------------------------------------------
+    def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
+                     vat: bool = False, train: bool = True):
+        """Functional counterpart of reference `UNet.run_on_batch`
+        (`model/self_attention_VAT.py:1090-1203`).
+
+        Returns (predictions, losses, spec (B,T,F), new_batch_stats).
+        """
+        prefix = "train" if train else "test"
+        frame_label = batch_l["frame"]
+        zero = jnp.zeros(())
+
+        lds_ul, r_norm_ul = zero, zero
+        if batch_ul is not None:
+            spec_ul = self.make_spec(batch_ul["audio"])
+            k_ul, key = jax.random.split(key)
+            lds_ul, _, rn = vat_loss(self._transcriber_fn(variables, train),
+                                     spec_ul, k_ul, self.vat_cfg)
+            r_norm_ul = jnp.mean(jnp.abs(rn))
+
+        spec = self.make_spec(batch_l["audio"])
+
+        lds_l, r_adv, r_norm_l = zero, None, zero
+        if vat:
+            k_l, key = jax.random.split(key)
+            lds_l, r_adv, rn = vat_loss(self._transcriber_fn(variables, train),
+                                        spec, k_l, self.vat_cfg)
+            r_adv = r_adv[..., 0]      # drop channel dim like the reference
+            r_norm_l = jnp.mean(jnp.abs(rn))
+
+        out, new_stats = self._apply(variables, spec, train)
+
+        if self.reconstruction:
+            reconstruction, pianoroll, pianoroll2, a = out
+            predictions = {
+                "onset": pianoroll, "frame": pianoroll,
+                "frame2": pianoroll2, "onset2": pianoroll2,
+                "attention": a, "r_adv": r_adv,
+                "reconstruction": reconstruction,
+            }
+            losses = {
+                f"loss/{prefix}_reconstruction":
+                    mse_loss(reconstruction[..., 0],
+                             jax.lax.stop_gradient(spec[..., 0])),
+                f"loss/{prefix}_frame":
+                    binary_cross_entropy(pianoroll, frame_label),
+                f"loss/{prefix}_frame2":
+                    binary_cross_entropy(pianoroll2, frame_label),
+                f"loss/{prefix}_LDS_l": lds_l,
+            }
+        else:
+            pianoroll, a = out
+            predictions = {"onset": pianoroll, "frame": pianoroll,
+                           "attention": a, "r_adv": r_adv}
+            losses = {
+                f"loss/{prefix}_frame":
+                    binary_cross_entropy(pianoroll, frame_label),
+                f"loss/{prefix}_LDS_l": lds_l,
+            }
+        if train:
+            losses[f"loss/{prefix}_LDS_ul"] = lds_ul
+            losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
+            losses[f"loss/{prefix}_r_norm_ul"] = r_norm_ul
+        else:
+            losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
+
+        return predictions, losses, spec[..., 0], new_stats
+
+    def transcribe(self, variables, audio):
+        """Deployment path (reference `UNet.transcribe`,
+        `model/self_attention_VAT.py:1293-1314`): onset roll == frame roll."""
+        spec = self.make_spec(audio)
+        out = self.module.apply(variables, spec, train=False)
+        if self.reconstruction:
+            _, pianoroll, _, _ = out
+        else:
+            pianoroll, _ = out
+        return {"onset": pianoroll, "frame": pianoroll}
+
+    # -- weights -------------------------------------------------------------
+    def load_reference_weights(self, path: str, variables):
+        """Load a released torch `.pt` state_dict onto this model."""
+        from ..train.torch_convert import load_torch_checkpoint, torch_to_flax
+        sd = load_torch_checkpoint(path)
+        converted, report = torch_to_flax(sd, variables)
+        # frontend buffers & vat module have no flax counterpart
+        residual = [k for k in report["skipped"]
+                    if not k.startswith(("spectrogram.", "normalize.",
+                                         "vat_loss."))]
+        if residual:
+            raise ValueError(f"unconverted model weights: {residual}")
+        return converted

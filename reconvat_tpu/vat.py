@@ -1,0 +1,89 @@
+"""Virtual Adversarial Training as a single jit-compatible transform.
+
+One generic function covers the reference's whole VAT family
+(`model/VAT.py:9-43`, `model/self_attention_VAT.py:101-238`,
+`model/UNet_onset.py:101-162`, `model/onset_frame_VAT.py:158-311`,
+`model/Segmentation.py:22-77`): power iteration for the adversarial
+direction in spectrogram space via `jax.grad` w.r.t. the input, a
+`stop_gradient` reference label, clamp(0, 1) on perturbed inputs, and an
+optional 1e10 gradient rescue against fp32 underflow (reference
+`model/UNet_onset.py:141`).
+
+TPU note: the whole procedure traces into the jitted train step, so VAT
+costs exactly its extra forward/backward passes — no host round trips.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .models.losses import binary_cross_entropy, binary_kl_div
+
+
+@dataclasses.dataclass(frozen=True)
+class VATConfig:
+    xi: float = 1e-6
+    eps: float = 2.0
+    n_power: int = 1
+    kl_div: bool = False
+    binwise: bool = False
+    grad_rescue: float = 1e10   # d * 1e10 underflow rescue (UNet variants)
+    norm_axis: int = -1         # axis of the per-vector L2 norm
+
+
+def l2_normalize(d, binwise: bool = False, axis: int = -1):
+    """Reference `_l2_normalize` (`model/self_attention_VAT.py:240-246`)."""
+    if binwise:
+        return d / (jnp.abs(d) + 1e-8)
+    return d / jnp.linalg.norm(d, axis=axis, keepdims=True)
+
+
+def _tree_objective(y_pred, y_ref, kl_div: bool):
+    """BCE/KL summed over (possibly multi-output) prediction pytrees."""
+    obj = binary_kl_div if kl_div else binary_cross_entropy
+    losses = jax.tree_util.tree_map(obj, y_pred, y_ref)
+    leaves = jax.tree_util.tree_leaves(losses)
+    return sum(leaves[1:], leaves[0]), losses
+
+
+def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
+             cfg: VATConfig, init_d: jnp.ndarray | None = None):
+    """Returns (vat_loss_tree, r_adv, d_normalized).
+
+    apply_fn(x) -> prediction pytree (array, or dict for frame+onset
+    variants). Gradients of the returned loss flow into model parameters
+    captured by `apply_fn`; the adversarial direction itself is
+    stop-gradiented exactly like the reference's `.detach()`.
+
+    vat_loss_tree has the same structure as apply_fn's output, so the
+    UNet_Onset variant's `{'frame':..., 'onset':...}` dict of losses
+    (reference `model/UNet_onset.py:160-161`) falls out naturally; for
+    single-output models it is a scalar.
+    """
+    y_ref = jax.tree_util.tree_map(jax.lax.stop_gradient, apply_fn(x))
+
+    if init_d is None:
+        d = jax.random.normal(key, x.shape, x.dtype)
+    else:
+        d = init_d  # deterministic seed direction (tests / reproducibility)
+
+    def adv_objective(d_var):
+        # Differentiate through the normalization, matching the reference's
+        # `loss.backward(); d = d.grad` (`model/self_attention_VAT.py:122-130`)
+        # — the resulting direction is g projected orthogonal to d.
+        r = cfg.xi * l2_normalize(d_var, cfg.binwise, cfg.norm_axis)
+        y_pred = apply_fn(jnp.clip(x + r, 0.0, 1.0))
+        total, _ = _tree_objective(y_pred, y_ref, cfg.kl_div)
+        return total
+
+    for _ in range(cfg.n_power):
+        grad_d = jax.grad(adv_objective)(d)
+        d = jax.lax.stop_gradient(grad_d) * cfg.grad_rescue
+
+    r_adv = cfg.eps * l2_normalize(d, cfg.binwise, cfg.norm_axis)
+    y_pred = apply_fn(jnp.clip(x + r_adv, 0.0, 1.0))
+    _, loss_tree = _tree_objective(y_pred, y_ref, cfg.kl_div)
+    return loss_tree, r_adv, l2_normalize(d, cfg.binwise, cfg.norm_axis)
