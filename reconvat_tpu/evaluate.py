@@ -1,0 +1,183 @@
+"""Full-song evaluation: losses, note/frame metrics, artifact dumps.
+
+Port of reference `evaluate_wo_velocity` (`model/evaluate_functions.py:20-127`)
+with identical metric keys, against our mir_eval-compatible metrics module.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+from . import constants as C
+from . import decode, metrics
+from .data.midi_io import midi_to_hz, save_midi
+from .utils import save_pianoroll
+
+eps = sys.float_info.epsilon
+
+
+def _hmean2(a, b):
+    return 2.0 / (1.0 / a + 1.0 / b)
+
+
+def _to_host(x):
+    return np.asarray(x)
+
+
+def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
+                         frame_threshold=0.5, save_path=None,
+                         reconstruction=True, onset=True, pseudo_onset=False,
+                         rule="rule2", verbose=False):
+    """data: iterable of per-song label dicts (batch axis of 1 or absent).
+
+    run_on_batch(batch) -> (predictions, losses, spec) — an eval-mode
+    closure over the model and its variables.
+    """
+    results = defaultdict(list)
+
+    for label in data:
+        pred, losses, _ = run_on_batch(label)
+
+        for key, loss in losses.items():
+            results[key].append(float(loss))
+
+        pred = {k: (np.maximum(_to_host(v)[0], 0)
+                    if k in ("frame", "onset", "frame2", "onset2")
+                    and v is not None else v)
+                for k, v in pred.items()}
+        label_onset = _to_host(label["onset"]).reshape(-1, C.N_KEYS)
+        label_frame = _to_host(label["frame"]).reshape(-1, C.N_KEYS)
+
+        if onset:
+            if pseudo_onset:
+                p_ref, i_ref = decode.extract_notes_wo_velocity(
+                    label_onset, label_frame, rule=rule)
+                p_est, i_est = decode.extract_notes_wo_velocity(
+                    label_onset, pred["frame"], onset_threshold,
+                    frame_threshold, rule=rule)
+            else:
+                p_ref, i_ref = decode.extract_notes_wo_velocity(
+                    label_onset, label_frame, rule=rule)
+                p_est, i_est = decode.extract_notes_wo_velocity(
+                    pred["onset"], pred["frame"], onset_threshold,
+                    frame_threshold, rule=rule)
+        else:
+            p_ref, i_ref = decode.extract_notes_wo_velocity(
+                label_frame, label_frame, rule=rule)
+            p_est, i_est = decode.extract_notes_wo_velocity(
+                pred["frame"], pred["frame"], onset_threshold,
+                frame_threshold, rule=rule)
+
+        t_ref, f_ref = decode.notes_to_frames(p_ref, i_ref,
+                                              label_frame.shape)
+        t_est, f_est = decode.notes_to_frames(p_est, i_est,
+                                              pred["frame"].shape)
+
+        scaling = C.HOP_LENGTH / C.SAMPLE_RATE
+        i_ref = (np.asarray(i_ref) * scaling).reshape(-1, 2)
+        p_ref = np.array([midi_to_hz(C.MIN_MIDI + m) for m in p_ref])
+        i_est = (np.asarray(i_est) * scaling).reshape(-1, 2)
+        p_est = np.array([midi_to_hz(C.MIN_MIDI + m) for m in p_est])
+
+        t_ref = t_ref.astype(np.float64) * scaling
+        f_ref = [np.array([midi_to_hz(C.MIN_MIDI + m) for m in fs])
+                 for fs in f_ref]
+        t_est = t_est.astype(np.float64) * scaling
+        f_est = [np.array([midi_to_hz(C.MIN_MIDI + m) for m in fs])
+                 for fs in f_est]
+
+        p, r, f, o = metrics.precision_recall_f1_overlap(
+            i_ref, p_ref, i_est, p_est, offset_ratio=None)
+        results["metric/note/precision"].append(p)
+        results["metric/note/recall"].append(r)
+        results["metric/note/f1"].append(f)
+        results["metric/note/overlap"].append(o)
+
+        p, r, f, o = metrics.precision_recall_f1_overlap(
+            i_ref, p_ref, i_est, p_est)
+        results["metric/note-with-offsets/precision"].append(p)
+        results["metric/note-with-offsets/recall"].append(r)
+        results["metric/note-with-offsets/f1"].append(f)
+        results["metric/note-with-offsets/overlap"].append(o)
+
+        frame_metrics = metrics.evaluate_multipitch(t_ref, f_ref,
+                                                    t_est, f_est)
+        results["metric/frame/f1"].append(
+            _hmean2(frame_metrics["Precision"] + eps,
+                    frame_metrics["Recall"] + eps) - eps)
+
+        avp = metrics.average_precision_score(label_frame.flatten(),
+                                              pred["frame"].flatten())
+        results["metric/MusicNet/micro_avg_P"].append(avp)
+
+        if reconstruction:
+            p_est2, i_est2 = decode.extract_notes_wo_velocity(
+                pred["onset2"], pred["frame2"], onset_threshold,
+                frame_threshold)
+            t_est2, f_est2 = decode.notes_to_frames(p_est2, i_est2,
+                                                    pred["frame2"].shape)
+            i_est2 = (np.asarray(i_est2) * scaling).reshape(-1, 2)
+            p_est2 = np.array([midi_to_hz(C.MIN_MIDI + m) for m in p_est2])
+            t_est2 = t_est2.astype(np.float64) * scaling
+            f_est2 = [np.array([midi_to_hz(C.MIN_MIDI + m) for m in fs])
+                      for fs in f_est2]
+
+            p2, r2, f2, o2 = metrics.precision_recall_f1_overlap(
+                i_ref, p_ref, i_est2, p_est2, offset_ratio=None)
+            results["metric/note/precision_2"].append(p2)
+            results["metric/note/recall_2"].append(r2)
+            results["metric/note/f1_2"].append(f2)
+            results["metric/note/overlap_2"].append(o2)
+
+            frame_metrics2 = metrics.evaluate_multipitch(t_ref, f_ref,
+                                                         t_est2, f_est2)
+            frame_metrics["Precision_2"] = frame_metrics2["Precision"]
+            frame_metrics["Recall_2"] = frame_metrics2["Recall"]
+            frame_metrics["accuracy_2"] = frame_metrics2["Accuracy"]
+            results["metric/frame/f1_2"].append(
+                _hmean2(frame_metrics["Precision_2"] + eps,
+                        frame_metrics["Recall_2"] + eps) - eps)
+            avp = metrics.average_precision_score(label_frame.flatten(),
+                                                  pred["frame2"].flatten())
+            results["metric/MusicNet/micro_avg_P2"].append(avp)
+
+            p2, r2, f2, o2 = metrics.precision_recall_f1_overlap(
+                i_ref, p_ref, i_est2, p_est2)
+            results["metric/note-with-offsets/precision_2"].append(p2)
+            results["metric/note-with-offsets/recall_2"].append(r2)
+            results["metric/note-with-offsets/f1_2"].append(f2)
+            results["metric/note-with-offsets/overlap_2"].append(o2)
+
+        for key, value in frame_metrics.items():
+            results["metric/frame/" + key.lower().replace(" ", "_")].append(
+                value)
+
+        if save_path is not None:
+            os.makedirs(save_path, exist_ok=True)
+            base = os.path.basename(str(label["path"]))
+            save_pianoroll(os.path.join(save_path, base + ".label.png"),
+                           label_onset, label_frame)
+            save_pianoroll(os.path.join(save_path, base + ".pred.png"),
+                           pred["onset"], pred["frame"])
+            save_midi(os.path.join(save_path, base + ".pred.mid"),
+                      p_est, i_est, [127] * len(p_est))
+        if verbose:
+            print(f"evaluated {label.get('path', '?')}")
+    return results
+
+
+def print_metrics(results):
+    """`category name: mean ± std` table (reference
+    `train_UNet_Onset_VAT.py:164-167`)."""
+    lines = []
+    for key, values in results.items():
+        if key.startswith("metric/"):
+            _, category, name = key.split("/")
+            line = (f"{category:>32} {name:25}: "
+                    f"{np.mean(values):.3f} ± {np.std(values):.3f}")
+            print(line)
+            lines.append(line)
+    return lines
