@@ -1,0 +1,90 @@
+"""Batching + background prefetch.
+
+Replaces the reference's torch DataLoader (num_workers=0, per-item
+`.to(device)` inside `__getitem__`, `model/dataset.py:52-54`) with a
+host-side numpy batcher whose assembly runs in a background thread, so
+crop/stack work overlaps TPU compute. Device transfer happens once per
+batch at the jit boundary.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+BATCH_KEYS = ("audio", "onset", "offset", "frame", "velocity")
+
+
+def collate(items):
+    batch = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if key in BATCH_KEYS:
+            batch[key] = np.stack(vals)
+        else:
+            batch[key] = vals if len(vals) > 1 else vals[0]
+    return batch
+
+
+def device_batch(batch):
+    """Strip non-array metadata (paths, crop offsets) before the jit
+    boundary."""
+    return {k: v for k, v in batch.items() if k in BATCH_KEYS}
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size, shuffle=True, drop_last=False,
+                 seed=0, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield idx
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for idx in self._index_batches():
+                yield collate([self.dataset[j] for j in idx])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for idx in self._index_batches():
+                    q.put(collate([self.dataset[j] for j in idx]))
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+
+
+def cycle(loader):
+    while True:
+        yield from loader

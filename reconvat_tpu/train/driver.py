@@ -1,0 +1,137 @@
+"""Shared training driver for the VAT training entry points.
+
+This is the body of reference `train_UNet_VAT.py` / `train_UNet_Onset_VAT.py`
+(`train_UNet_Onset_VAT.py:82-170`) factored into one function: prepare
+datasets -> loaders -> train state -> epoch loop (train_VAT_model +
+tensorboard_log + periodic checkpoints) -> final full-song evaluation.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from ..data.loader import DataLoader, cycle
+from ..evaluate import evaluate_wo_velocity, print_metrics
+from ..utils import summary
+from . import checkpoint as ckpt
+from .loop import TensorboardLogger, tensorboard_log, train_VAT_model
+from .prepare import prepare_VAT_dataset
+from .state import (create_train_state, make_eval_step, make_train_step)
+
+
+def _eval_runner(model, state):
+    batch_keys = ("audio", "onset", "offset", "frame", "velocity")
+
+    def runner(item):
+        batch = {k: (np.asarray(v)[None]
+                     if k in batch_keys and np.asarray(v).ndim in (1, 2)
+                     else v)
+                 for k, v in item.items()}
+        p, l, s, _ = model.run_on_batch(state.variables, batch, None,
+                                        jax.random.PRNGKey(0), vat=False,
+                                        train=False)
+        return p, l, s
+
+    return runner
+
+
+def run_training(model, cfg, datasets=None):
+    """cfg: resolved config dict (sacred-style names). datasets: optional
+    prebuilt (l_set, ul_set, validation, full_validation) tuple."""
+    if datasets is None:
+        datasets = prepare_VAT_dataset(
+            sequence_length=cfg["sequence_length"],
+            validation_length=cfg["sequence_length"],
+            refresh=cfg.get("refresh", False),
+            small=cfg.get("small", False),
+            supersmall=cfg.get("supersmall", False),
+            dataset=cfg["train_on"])
+    supervised_set, unsupervised_set, validation_dataset, full_validation = \
+        datasets
+
+    vat = cfg.get("VAT", False)
+    alpha = cfg.get("alpha", 1)
+    seed = cfg.get("seed", 42)
+    logdir = cfg["logdir"]
+
+    ul_loader = None
+    if vat and len(unsupervised_set):
+        ul_loader = DataLoader(unsupervised_set, cfg["batch_size"],
+                               shuffle=True, drop_last=True, seed=seed + 1)
+    supervised_loader = DataLoader(supervised_set,
+                                   cfg.get("train_batch_size",
+                                           cfg["batch_size"]),
+                                   shuffle=True, drop_last=True, seed=seed)
+    val_batch_size = min(4, len(validation_dataset)) or 1
+    valloader = DataLoader(validation_dataset, val_batch_size,
+                           shuffle=False, drop_last=True, seed=seed)
+    batch_visualize = next(iter(valloader))
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    seq_frames = cfg["sequence_length"] // 512
+    state = create_train_state(
+        model, init_key, learning_rate=cfg["learning_rate"],
+        decay_steps=cfg.get("learning_rate_decay_steps", 1000),
+        decay_rate=cfg.get("learning_rate_decay_rate", 0.98),
+        clip_gradient_norm=cfg.get("clip_gradient_norm", 3),
+        seq_frames=seq_frames)
+
+    resume = cfg.get("resume_iteration")
+    if resume is not None:
+        path = os.path.join(cfg.get("trained_dir", "trained_MAPS"),
+                            f"model-{resume}")
+        state = ckpt.restore_checkpoint(path, state)
+        print(f"resumed from {path}")
+
+    summary(type(model).__name__, {"params": state.params})
+
+    train_steps = {
+        False: make_train_step(model, alpha, vat=False, use_unlabeled=False),
+        True: make_train_step(model, alpha, vat=True,
+                              use_unlabeled=ul_loader is not None),
+    }
+    eval_step = make_eval_step(model)
+
+    logger = None
+    l_iter = cycle(supervised_loader)
+    ul_iter = cycle(ul_loader) if ul_loader is not None else None
+
+    epoches = cfg.get("epoches", 20000)
+    iteration = cfg.get("iteration", 10)
+    logging_freq = cfg.get("logging_freq", 100)
+    saving_freq = cfg.get("saving_freq", 200)
+    vat_start = cfg.get("VAT_start", 0)
+
+    for ep in range(1, epoches + 1):
+        key, sub = jax.random.split(key)
+        state, losses = train_VAT_model(
+            model, state, train_steps, iteration, ep, l_iter, ul_iter, sub,
+            vat=vat, vat_start=vat_start)
+
+        if logger is None:
+            logger = TensorboardLogger(logdir)
+        key, sub = jax.random.split(key)
+        tensorboard_log(logger, model, state, batch_visualize,
+                        validation_dataset, supervised_loader, eval_step,
+                        ep, logging_freq, sub, vat, vat_start,
+                        cfg.get("reconstruction", False))
+
+        if ep % saving_freq == 0:
+            ckpt.save_checkpoint(logdir, ep, state)
+        logger.log_losses(losses, ep)
+
+    print("Training finished, now evaluating on the test split (full songs)")
+    metrics = evaluate_wo_velocity(
+        full_validation, _eval_runner(model, state),
+        reconstruction=False,
+        save_path=os.path.join(logdir, "MIDI_results"))
+    print_metrics(metrics)
+    with open(os.path.join(logdir, "result_dict"), "wb") as f:
+        pickle.dump(dict(metrics), f)
+    if logger is not None:
+        logger.close()
+    return state, metrics

@@ -1,0 +1,151 @@
+"""Training loops + TensorBoard logging.
+
+Mirrors reference `train_VAT_model` / `train_model` / `eval_model` /
+`tensorboard_log` (`model/helper_functions.py:542-687`): per-"epoch"
+`iteration` steps drawn from cycled labeled/unlabeled loaders, LDS losses
+scaled by alpha/2, per-epoch scalar logging, periodic full evaluation.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from ..data.loader import cycle, device_batch
+from ..evaluate import evaluate_wo_velocity
+from .state import total_loss_from_dict
+
+
+def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
+                    key, vat=False, vat_start=0, verbose=True):
+    """One "epoch" = `iteration` optimizer steps. Returns (state, losses)."""
+    total_loss = 0.0
+    losses = {}
+    for i in range(iteration):
+        key, sub = jax.random.split(key)
+        batch_l = device_batch(next(l_iter))
+        use_vat = vat and ep >= vat_start
+        batch_ul = device_batch(next(ul_iter)) \
+            if (ul_iter is not None and use_vat) \
+            else batch_l  # placeholder with matching shapes; unused
+        state, losses = train_step[bool(use_vat)](state, batch_l, batch_ul,
+                                                  sub)
+        total_loss += float(total_loss_from_dict(losses, 1.0))
+        if verbose:
+            main = sum(float(v) for v in losses.values())
+            print(f"Train Epoch: {ep} [{i}/{iteration}] "
+                  f"Main Loss: {main:.6f}", end="\r")
+    if verbose:
+        print(" " * 100, end="\r")
+        print(f"Train Epoch: {ep}\tLoss: {total_loss / iteration:.6f}")
+    return state, losses
+
+
+def eval_model(model, state, eval_step, ep, loader, key, verbose=False):
+    """Reference `eval_model` (`model/helper_functions.py:667-687`)."""
+    metrics = defaultdict(list)
+    for i, batch in enumerate(loader):
+        key, sub = jax.random.split(key)
+        losses = eval_step(state, device_batch(batch), sub)
+        for k, v in losses.items():
+            metrics[k].append(float(v))
+        if verbose:
+            print(f"Eval Epoch: {ep} [{i}]", end="\r")
+    return metrics
+
+
+class TensorboardLogger:
+    """Scalar + figure logging with the reference's tags."""
+
+    def __init__(self, logdir):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(logdir)
+
+    def add_scalar(self, key, value, step):
+        self.writer.add_scalar(key, value, global_step=step)
+
+    def log_losses(self, losses, step):
+        for key, value in losses.items():
+            self.writer.add_scalar(key, float(value), global_step=step)
+
+    def log_images(self, tag, arrays, step, cmap="jet"):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = len(arrays)
+        rows = 2 if n > 2 else 1
+        cols = -(-n // rows)
+        fig, axs = plt.subplots(rows, cols, figsize=(12 * cols, 4 * rows),
+                                squeeze=False)
+        for idx, arr in enumerate(arrays):
+            ax = axs[idx // cols][idx % cols]
+            ax.imshow(np.asarray(arr).T, origin="lower", cmap=cmap)
+            ax.axis("off")
+        fig.tight_layout()
+        self.writer.add_figure(tag, fig, step)
+
+    def close(self):
+        self.writer.close()
+
+
+def tensorboard_log(logger, model, state, batch_visualize, validation_set,
+                    supervised_loader, eval_step, ep, logging_freq, key,
+                    vat, vat_start, reconstruction, verbose=True):
+    """Periodic logging mirroring reference `tensorboard_log`
+    (`model/helper_functions.py:120-275`)."""
+    key, sub = jax.random.split(key)
+    use_vat = vat and ep >= vat_start
+    preds, losses, mel, _ = model.run_on_batch(
+        state.variables, batch_visualize, None, sub,
+        vat=use_vat, train=False)
+
+    if ep % logging_freq == 0 or ep == 1:
+        def runner(batch):
+            p, l, s, _ = model.run_on_batch(
+                state.variables,
+                {k: (np.asarray(v)[None] if k in ("audio", "onset", "offset",
+                                                  "frame", "velocity")
+                     and np.asarray(v).ndim in (1, 2) else v)
+                 for k, v in batch.items()},
+                None, jax.random.PRNGKey(0), vat=False, train=False)
+            return p, l, s
+
+        results = evaluate_wo_velocity(validation_set, runner,
+                                       reconstruction=reconstruction)
+        for k, values in results.items():
+            if k.startswith("metric/"):
+                _, category, name = k.split("/")
+                if verbose:
+                    print(f"{category:>32} {name:25}: "
+                          f"{np.mean(values):.3f} ± {np.std(values):.3f}")
+                if (("precision" in name or "recall" in name
+                     or "f1" in name) and "chroma" not in name):
+                    logger.add_scalar(k, float(np.mean(values)), ep)
+        test_losses = eval_model(model, state, eval_step, ep,
+                                 supervised_loader, key)
+        for k, values in test_losses.items():
+            if k.startswith("loss/"):
+                logger.add_scalar(k, float(np.mean(values)), ep)
+
+    if ep == 1:
+        logger.log_images("images/Original", np.asarray(mel), ep)
+        logger.log_images("images/Label",
+                          np.asarray(batch_visualize["frame"]), ep,
+                          cmap=None)
+
+    if ep % logging_freq == 0:
+        for out_key in ["frame", "onset", "frame2", "onset2"]:
+            if preds.get(out_key) is not None:
+                logger.log_images(f"images/{out_key}",
+                                  np.asarray(preds[out_key]), ep, cmap=None)
+        if preds.get("reconstruction") is not None:
+            rec = np.asarray(preds["reconstruction"])[..., 0]
+            logger.log_images("images/Reconstruction", rec, ep)
+        if preds.get("r_adv") is not None:
+            adv = np.asarray(mel) + np.asarray(preds["r_adv"])
+            logger.log_images("images/Spec_adv", adv, ep)
+    return losses

@@ -1,0 +1,76 @@
+"""Train the ReconVAT UNet (semi-supervised VAT).
+
+CLI-compatible port of reference `train_UNet_VAT.py`:
+    python train_UNet_VAT.py with train_on=MAPS small=True VAT=True ...
+"""
+from datetime import datetime
+
+from reconvat_tpu.config import Experiment, FileStorageObserver, print_config
+
+ex = Experiment("train_original")
+
+ds_ksize, ds_stride = (2, 2), (2, 2)
+mode = "imagewise"
+logging_freq = 100
+saving_freq = 200
+
+
+@ex.config
+def config():
+    root = "runs"
+    onset_stack = True
+    device = "tpu"
+    log = True
+    w_size = 31
+    spec = "Mel"
+    resume_iteration = None
+    train_on = "Wind"
+    n_heads = 4
+    position = True
+    iteration = 10
+    VAT_start = 0
+    alpha = 1
+    VAT = True
+    XI = 1e-6
+    eps = 2
+    small = False
+    supersmall = True
+    KL_Div = False
+    reconstruction = False
+
+    batch_size = 8
+    train_batch_size = 1
+    sequence_length = 327680
+
+    epoches = 20000
+    learning_rate = 1e-3
+    learning_rate_decay_steps = 1000
+    learning_rate_decay_rate = 0.98
+    leave_one_out = None
+    clip_gradient_norm = 3
+    validation_length = sequence_length
+    refresh = False
+    seed = 42
+
+    logdir = (f"{root}/Unet-recons={reconstruction}-XI={XI}-eps={eps}"
+              f"-alpha={alpha}-train_on=small_{small}_{train_on}"
+              f"-w_size={w_size}-n_heads={n_heads}-lr={learning_rate}-"
+              + datetime.now().strftime("%y%m%d-%H%M%S"))
+
+    ex.observers.append(FileStorageObserver.create(logdir))
+
+
+@ex.automain
+def train(spec, device, log, reconstruction, XI, eps, KL_Div, **_ignored):
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    print_config(ex.current_run)
+
+    from reconvat_tpu.models.reconvat import ReconVAT
+    from reconvat_tpu.train.driver import run_training
+
+    model = ReconVAT(log=log, reconstruction=reconstruction, mode=mode,
+                     spec=spec, xi=XI, eps=eps, kl_div=KL_Div)
+    return run_training(model, ex.current_run.config)
