@@ -1,0 +1,73 @@
+"""Benchmark: audio-seconds transcribed per second per chip.
+
+Measures the flagship ReconVAT transcription path end to end on one chip:
+device compute (mel frontend + UNet + reconstruction chain) + host decode
+(posteriogram -> note events). Baseline is the north-star 50x realtime
+(BASELINE.md — the reference publishes no numbers), so
+vs_baseline = realtime_factor / 50.
+
+Prints ONE JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from reconvat_tpu.runtime import setup as runtime_setup
+
+    runtime_setup()
+
+    from reconvat_tpu import constants as C
+    from reconvat_tpu import decode
+    from reconvat_tpu.models.reconvat import ReconVAT
+
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    frames = 640
+    samples = frames * C.HOP_LENGTH  # 327680 => 20.48 s per item
+    audio_seconds_per_batch = batch * samples / C.SAMPLE_RATE
+
+    model = ReconVAT(reconstruction=True)
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=frames)
+
+    @jax.jit
+    def forward(variables, audio):
+        preds = model.transcribe(variables, audio)
+        return preds["frame"]
+
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(batch, samples) * 0.1).astype(np.float32)
+    audio_dev = jax.device_put(audio)
+
+    # warmup / compile
+    roll = forward(variables, audio_dev)
+    roll.block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        roll = forward(variables, audio_dev)
+        roll_host = np.asarray(roll)
+        for b in range(batch):
+            decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
+                                             rule="rule2")
+    dt = time.perf_counter() - t0
+
+    realtime = audio_seconds_per_batch * iters / dt
+    result = {
+        "metric": "audio-seconds transcribed/sec/chip (ReconVAT, incl. "
+                  "mel frontend + reconstruction chain + host note decode)",
+        "value": round(realtime, 2),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(realtime / 50.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,11 +142,13 @@ class ReconVAT:
         Drops the final sample so 327680-sample crops give exactly 640
         frames (reference `model/self_attention_VAT.py:1112`).
         """
+        from ..parallel.mesh import spec_constraint
+
         spec = self.frontend(audio[:, :-1])
         if self.log:
             spec = jnp.log(spec + 1e-5)
         spec = self.normalize(spec)
-        return spec[..., None]
+        return spec_constraint(spec[..., None])
 
     def _apply(self, variables, x, train: bool):
         if train:

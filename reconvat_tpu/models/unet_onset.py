@@ -131,11 +131,13 @@ class UNetOnset:
         return self.module.init(key, dummy, train=False)
 
     def make_spec(self, audio):
+        from ..parallel.mesh import spec_constraint
+
         spec = self.frontend(audio[:, :-1])
         if self.log:
             spec = jnp.log(spec + 1e-5)
         spec = self.normalize(spec)
-        return spec[..., None]
+        return spec_constraint(spec[..., None])
 
     def _apply(self, variables, x, train):
         if train:

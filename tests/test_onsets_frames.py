@@ -1,0 +1,116 @@
+"""Onsets-and-Frames (CNN-BiLSTM) parity tests vs the reference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reconvat_tpu.models.onsets_frames import (OnsetsAndFrames,
+                                               OnsetsAndFramesModule)
+from reconvat_tpu.nn.layers import BiLSTM, ConvStack, lstm_torch_entries
+from reconvat_tpu.train.torch_convert import torch_to_flax
+
+from . import reference_oracle
+
+
+def test_bilstm_matches_torch():
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    ref = torch.nn.LSTM(12, 5, batch_first=True, bidirectional=True)
+    x = np.random.RandomState(0).randn(2, 20, 12).astype(np.float32)
+    with torch.no_grad():
+        out_ref, _ = ref(torch.tensor(x))
+
+    mod = BiLSTM(5)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {f"lstm.{k}": p.detach().numpy() for k, p in
+          ref.named_parameters()}
+    entries = lstm_torch_entries("lstm", "x", sd)
+    params = jax.tree_util.tree_map(np.asarray, dict(v["params"]))
+    for key_str, val in entries.items():
+        parts = key_str.split("/")[1:]
+        node = params
+        for p in parts[:-1]:
+            node = node[p]
+        assert node[parts[-1]].shape == val.shape, key_str
+        node[parts[-1]] = val
+    out = mod.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_convstack_matches_reference():
+    torch = pytest.importorskip("torch")
+    ofv = reference_oracle.reference_module("onset_frame_VAT")
+    torch.manual_seed(1)
+    ref = ofv.ConvStack(229, 768).eval()
+    x = np.random.RandomState(0).randn(1, 32, 229).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x))  # reference views (B,T,F) to NCHW
+
+    mod = ConvStack(229, 768)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    sd = {}
+    for k, p in ref.state_dict().items():
+        k2 = (k.replace("cnn.0.", "conv0.").replace("cnn.1.", "bn0.")
+              .replace("cnn.3.", "conv1.").replace("cnn.4.", "bn1.")
+              .replace("cnn.8.", "conv2.").replace("cnn.9.", "bn2.")
+              .replace("fc.0.", "fc."))
+
+        sd[k2] = p
+    converted, report = torch_to_flax(sd, v)
+    assert not report["skipped"], report["skipped"]
+    out = mod.apply(converted, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_onsets_frames_full_matches_reference():
+    torch = pytest.importorskip("torch")
+    ofv = reference_oracle.reference_module("onset_frame_VAT")
+    torch.manual_seed(2)
+    ref = ofv.OnsetsAndFrames_VAT_full(229, 88, model_complexity=16).eval()
+    x = np.random.RandomState(3).rand(1, 40, 229).astype(np.float32)
+    with torch.no_grad():
+        onset_ref, act_ref, frame_ref = ref(torch.tensor(x))
+
+    model = OnsetsAndFrames(model_complexity=16)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+        torch.save(ref.state_dict(), f.name)
+        variables = model.init(jax.random.PRNGKey(0), seq_frames=40)
+        converted = model.load_reference_weights(f.name, variables)
+
+    onset, act, frame = model.module.apply(converted, jnp.asarray(x),
+                                           train=False)
+    np.testing.assert_allclose(np.asarray(onset), onset_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(act), act_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(frame), frame_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_onsets_frames_run_on_batch():
+    model = OnsetsAndFrames(model_complexity=8)
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=32)
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": jnp.asarray(rng.randn(2, 32 * 512).astype(np.float32)
+                             * 0.1),
+        "frame": jnp.asarray((rng.rand(2, 32, 88) > 0.9)
+                             .astype(np.float32)),
+        "onset": jnp.asarray((rng.rand(2, 32, 88) > 0.97)
+                             .astype(np.float32)),
+    }
+    preds, losses, spec, stats = model.run_on_batch(
+        variables, batch, batch, jax.random.PRNGKey(1), vat=True,
+        train=True)
+    assert {"loss/train_frame", "loss/train_onset", "loss/train_LDS_l",
+            "loss/train_LDS_ul", "loss/train_r_norm_l",
+            "loss/train_r_norm_ul"} == set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert preds["frame"].shape == (2, 32, 88)
