@@ -1,0 +1,483 @@
+"""Semantic segmentation transcriber ("baseline_Multi_Inst").
+
+Port target: reference `Semantic_Segmentation` (`model/Segmentation.py:
+136-642`) — a TF-style DeepLab-ish net: pre-activation residual Conv_Blocks
+with hand-computed TF-SAME padding, two 17x17 local 2D-attention layers at
+the 256-channel bottleneck, a transpose-conv decoder with Keras SAME output
+trimming, and a final Linear(N_BINS -> 88) inference head.
+
+All activations NHWC. TF-SAME padding and the transpose-conv trimming
+reproduce the reference pixel-exactly (`model/Segmentation.py:76-133`).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..nn.unet import TorchConvTranspose, torch_conv_init
+from ..ops.normalize import Normalization
+from ..ops.spectrogram import make_frontend
+from ..vat import VATConfig, vat_loss
+from .losses import binary_cross_entropy
+
+N_KEYS = C.N_KEYS
+
+
+def _pad_amount(size, k, s):
+    if size % s == 0:
+        return max(k - s, 0)
+    return max(k - (size % s), 0)
+
+
+def tf_same_pad(x, ksize, stride):
+    """TF 'SAME' asymmetric padding on NHWC (reference `calculate_padding` +
+    `SAME_padding`, `model/Segmentation.py:76-133`)."""
+    kh, kw = ksize
+    sh, sw = stride
+    ph = _pad_amount(x.shape[1], kh, sh)
+    pw = _pad_amount(x.shape[2], kw, sw)
+    return jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                       (pw // 2, pw - pw // 2), (0, 0)))
+
+
+def transpose_padding_same(x, input_hw, stride):
+    """Crop ConvTranspose output back to input*stride
+    (reference `transpose_padding_same`, `model/Segmentation.py:112-129`)."""
+    th, tw = input_hw[0] * stride[0], input_hw[1] * stride[1]
+    rh, rw = x.shape[1] - th, x.shape[2] - tw
+    if rh > 0:
+        x = x[:, rh // 2: x.shape[1] - (rh // 2 + rh % 2)]
+    if rw > 0:
+        x = x[:, :, rw // 2: x.shape[2] - (rw // 2 + rw % 2)]
+    return x
+
+
+def _bn():
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+
+
+class ConvBlockSeg(nn.Module):
+    """Reference `Conv_Block` (`model/Segmentation.py:136-182`)."""
+    inp: int
+    out: int
+    ksize: tuple = (3, 3)
+    stride: tuple = (2, 2)
+    dropout_rate: float = 0.4
+
+    def setup(self):
+        self.conv1 = nn.Conv(self.out, self.ksize, strides=self.stride,
+                             padding="VALID", kernel_init=torch_conv_init)
+        self.bn1 = _bn()
+        self.dropout1 = nn.Dropout(self.dropout_rate)
+        self.conv2 = nn.Conv(self.out, self.ksize, strides=(1, 1),
+                             padding="VALID", kernel_init=torch_conv_init)
+        self.bn2 = _bn()
+        self.dropout2 = nn.Dropout(self.dropout_rate)
+        self.conv_skip = nn.Conv(self.out, (1, 1), strides=self.stride,
+                                 padding="VALID",
+                                 kernel_init=torch_conv_init)
+
+    def __call__(self, x, train: bool):
+        skip = x
+        x = self.bn1(nn.relu(x), use_running_average=not train)
+        x = self.dropout1(x, deterministic=not train)
+        x = tf_same_pad(x, self.ksize, self.stride)
+        x = self.conv1(x)
+        x = self.bn2(nn.relu(x), use_running_average=not train)
+        x = self.dropout2(x, deterministic=not train)
+        x = tf_same_pad(x, self.ksize, (1, 1))
+        x = self.conv2(x)
+        if self.stride != (1, 1):
+            skip = tf_same_pad(skip, (1, 1), self.stride)
+            skip = self.conv_skip(skip)
+        return x + skip
+
+
+class TransposeConvBlock(nn.Module):
+    """Reference `transpose_conv_block` (`model/Segmentation.py:185-237`)."""
+    inp: int
+    out: int
+    ksize: tuple = (3, 3)
+    stride: tuple = (2, 2)
+    dropout_rate: float = 0.4
+
+    def setup(self):
+        self.conv1 = nn.Conv(self.out, self.ksize, strides=(1, 1),
+                             padding="VALID", kernel_init=torch_conv_init)
+        self.bn1 = _bn()
+        self.dropout1 = nn.Dropout(self.dropout_rate)
+        self.conv2 = TorchConvTranspose(self.out, self.ksize, self.stride,
+                                        (0, 0))
+        self.bn2 = _bn()
+        self.dropout2 = nn.Dropout(self.dropout_rate)
+        self.conv_skip = TorchConvTranspose(self.out, (1, 1), self.stride,
+                                            (0, 0))
+
+    def __call__(self, x, target_hw, train: bool):
+        skip = x
+        x = self.bn1(nn.relu(x), use_running_average=not train)
+        x = self.dropout1(x, deterministic=not train)
+        x = tf_same_pad(x, self.ksize, (1, 1))
+        x = self.conv1(x)
+        x = self.bn2(nn.relu(x), use_running_average=not train)
+        x = self.dropout2(x, deterministic=not train)
+        input_hw = x.shape[1:3]
+        x = self.conv2(x)
+        x = transpose_padding_same(x, input_hw, self.stride)
+        # extra-pixel trim to the encoder shape (`Segmentation.py:223-226`)
+        if x.shape[1] > target_hw[0]:
+            x = x[:, :-1]
+        if x.shape[2] > target_hw[1]:
+            x = x[:, :, :-1]
+        if self.stride != (1, 1):
+            skip = self.conv_skip(skip, output_size=x.shape[1:3])
+        return x + skip
+
+
+class MultiHeadAttention2D(nn.Module):
+    """Reference `MutliHeadAttention2D` (`model/Segmentation.py:277-354`):
+    2D local attention with separate time/freq relative embeddings split
+    across channel halves. Window materialization is fine here — it only
+    runs on the (T/16, F/16) bottleneck."""
+    out_channels: int
+    kernel_size: tuple = (3, 3)
+    groups: int = 1
+    use_bias: bool = False
+
+    def setup(self):
+        kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        self.query_conv = nn.Conv(self.out_channels, (1, 1),
+                                  use_bias=self.use_bias,
+                                  kernel_init=kaiming)
+        self.key_conv = nn.Conv(self.out_channels, (1, 1),
+                                use_bias=self.use_bias, kernel_init=kaiming)
+        self.value_conv = nn.Conv(self.out_channels, (1, 1),
+                                  use_bias=self.use_bias,
+                                  kernel_init=kaiming)
+        kh, kw = self.kernel_size
+        # torch shapes kept verbatim for weight conversion
+        self.rel_t = self.param("rel_t", nn.initializers.normal(1.0),
+                                (self.out_channels // 2, 1, 1, kh, 1))
+        self.rel_f = self.param("rel_f", nn.initializers.normal(1.0),
+                                (self.out_channels // 2, 1, 1, 1, kw))
+
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        kh, kw = self.kernel_size
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        Co = self.out_channels
+        G = self.groups
+
+        q = self.query_conv(x)
+        xpad = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        k = self.key_conv(xpad)
+        v = self.value_conv(xpad)
+
+        def windows(t):
+            rows = []
+            for u in range(kh):
+                cols = [t[:, u:u + H, vv:vv + W, :] for vv in range(kw)]
+                rows.append(jnp.stack(cols, axis=-1))   # (B,H,W,C,kw)
+            return jnp.stack(rows, axis=-2)             # (B,H,W,C,kh,kw)
+
+        k_win = windows(k)
+        v_win = windows(v)
+
+        rel_t = jnp.broadcast_to(self.rel_t[:, 0, 0, :, :],
+                                 (Co // 2, kh, kw))
+        rel_f = jnp.broadcast_to(self.rel_f[:, 0, 0, :, :],
+                                 (Co // 2, kh, kw))
+        rel = jnp.concatenate([rel_t, rel_f], axis=0)   # (C, kh, kw)
+        k_win = k_win + rel[None, None, None]
+
+        qg = q.reshape(B, H, W, G, Co // G)
+        kg = k_win.reshape(B, H, W, G, Co // G, kh * kw)
+        vg = v_win.reshape(B, H, W, G, Co // G, kh * kw)
+        energy = jnp.einsum("bhwgc,bhwgck->bhwgk", qg, kg)
+        attn = jax.nn.softmax(energy, axis=-1)
+        out = jnp.einsum("bhwgk,bhwgck->bhwgc", attn, vg)
+        return out.reshape(B, H, W, Co), attn
+
+
+class SegEncoder(nn.Module):
+    """Reference Segmentation `Encoder` (`model/Segmentation.py:356-431`)."""
+    dropout_rate: float = 0.4
+
+    def setup(self):
+        d = self.dropout_rate
+        self.encoding_layer = nn.Conv(32, (7, 7), strides=(1, 1),
+                                      padding="VALID",
+                                      kernel_init=torch_conv_init)
+        self.layer1a = ConvBlockSeg(32, 32, (3, 3), (2, 2), d)
+        self.layer1b = ConvBlockSeg(32, 32, (3, 3), (1, 1), d)
+        self.layer2a = ConvBlockSeg(32, 64, (3, 3), (2, 2), d)
+        self.layer2b = ConvBlockSeg(64, 64, (3, 3), (1, 1), d)
+        self.layer2c = ConvBlockSeg(64, 64, (3, 3), (1, 1), d)
+        self.layer3a = ConvBlockSeg(64, 128, (3, 3), (2, 2), d)
+        self.layer3b = ConvBlockSeg(128, 128, (3, 3), (1, 1), d)
+        self.layer3c = ConvBlockSeg(128, 128, (3, 3), (1, 1), d)
+        self.layer3d = ConvBlockSeg(128, 128, (3, 3), (1, 1), d)
+        self.layer4a = ConvBlockSeg(128, 256, (3, 3), (2, 2), d)
+        self.layer4b = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
+        self.layer4c = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
+        self.layer4d = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
+        self.layer4e = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
+
+    def __call__(self, x, train: bool):
+        original_hw = x.shape[1:3]
+        x = tf_same_pad(x, (7, 7), (1, 1))
+        x = self.encoding_layer(x)
+        x = self.layer1a(x, train)
+        x = self.layer1b(x, train)
+        en_l1, hw1 = x, x.shape[1:3]
+        x = self.layer2a(x, train)
+        x = self.layer2b(x, train)
+        x = self.layer2c(x, train)
+        en_l2, hw2 = x, x.shape[1:3]
+        x = self.layer3a(x, train)
+        x = self.layer3b(x, train)
+        x = self.layer3c(x, train)
+        x = self.layer3d(x, train)
+        en_l3, hw3 = x, x.shape[1:3]
+        x = self.layer4a(x, train)
+        x = self.layer4b(x, train)
+        x = self.layer4c(x, train)
+        x = self.layer4d(x, train)
+        x = self.layer4e(x, train)
+        return x, (en_l1, en_l2, en_l3), (original_hw, hw1, hw2, hw3)
+
+
+class DecoderBlockSeg(nn.Module):
+    """Reference `Decoder_Block` (`model/Segmentation.py:239-275`)."""
+    input_channels: int
+    encoder_channels: int
+    hidden_channels: int
+    output_channels: int
+    dropout_rate: float = 0.4
+
+    def setup(self):
+        self.layer1a = nn.Conv(self.hidden_channels, (1, 1), strides=(1, 1),
+                               padding="VALID", kernel_init=torch_conv_init)
+        self.bn = _bn()
+        self.bn_en = _bn()
+        self.dropout1 = nn.Dropout(self.dropout_rate)
+        self.layer1b = TransposeConvBlock(self.input_channels,
+                                          self.output_channels, (3, 3),
+                                          (2, 2), self.dropout_rate)
+
+    def __call__(self, x, encoder_output, encoder_hw, train: bool):
+        skip = x
+        x = self.bn(nn.relu(x), use_running_average=not train)
+        en_l = self.bn_en(nn.relu(encoder_output),
+                          use_running_average=not train)
+        x = jnp.concatenate([x, en_l], axis=-1)
+        x = self.dropout1(x, deterministic=not train)
+        x = self.layer1a(x)
+        x = x + skip
+        x = self.layer1b(x, encoder_hw, train)
+        return x
+
+
+class SegDecoder(nn.Module):
+    dropout_rate: float = 0.4
+
+    def setup(self):
+        d = self.dropout_rate
+        self.de_layer1 = DecoderBlockSeg(128, 128, 128, 64, d)
+        self.de_layer2 = DecoderBlockSeg(64, 64, 64, 64, d)
+        self.de_layer3 = DecoderBlockSeg(64, 32, 64, 64, d)
+
+    def __call__(self, x, encoder_outputs, encoder_hws, train: bool):
+        x = self.de_layer1(x, encoder_outputs[-1], encoder_hws[-2], train)
+        x = self.de_layer2(x, encoder_outputs[-2], encoder_hws[-3], train)
+        x = self.de_layer3(x, encoder_outputs[-3], encoder_hws[-4], train)
+        return x
+
+
+class SegmentationModule(nn.Module):
+    """Reference `Semantic_Segmentation` forward
+    (`model/Segmentation.py:504-537`)."""
+    n_bins: int = C.N_BINS
+    out_class: int = 2
+    dropout_rate: float = 0.4
+
+    def setup(self):
+        d = self.dropout_rate
+        self.encoder = SegEncoder(d)
+        self.attention_layer1 = MultiHeadAttention2D(64, (17, 17), groups=1)
+        self.bn1 = _bn()
+        self.attention_layer2 = MultiHeadAttention2D(128, (17, 17), groups=1)
+        self.bn2 = _bn()
+        self.layer0a = nn.Conv(256, (1, 1), strides=(1, 1), padding="VALID",
+                               kernel_init=torch_conv_init)
+        self.layer0b = TransposeConvBlock(256, 128, (3, 3), (2, 2), d)
+        self.decoder = SegDecoder(d)
+        self.bn_last = _bn()
+        self.dropout_last = nn.Dropout(d)
+        self.conv_last = nn.Conv(self.out_class, (1, 1), strides=(1, 1),
+                                 padding="VALID", kernel_init=torch_conv_init)
+        self.inference_model = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
+
+    def __call__(self, x, train: bool = False):
+        """x (B, T, F, 1) -> posteriogram.
+
+        out_class == 1: (B, T, 88); out_class > 1: (B, T, F', out_class)
+        mapped per-channel like the reference's un-squeezed Linear."""
+        x, encoder_outputs, encoder_hws = self.encoder(x, train)
+        en_l4 = x
+        x, _ = self.attention_layer1(en_l4)
+        x = self.bn1(nn.relu(x), use_running_average=not train)
+        x, _ = self.attention_layer2(x)
+        x = self.bn2(nn.relu(x), use_running_average=not train)
+        x = jnp.concatenate([en_l4, x], axis=-1)
+        x = self.layer0a(x)
+        x = x + en_l4
+        x = self.layer0b(x, encoder_hws[-1], train)
+        x = self.decoder(x, encoder_outputs, encoder_hws, train)
+        x = self.bn_last(nn.relu(x), use_running_average=not train)
+        x = self.dropout_last(x, deterministic=not train)
+        x = self.conv_last(x)                    # (B, T, F, out_class)
+        if self.out_class == 1:
+            x = x[..., 0]                        # (B, T, F)
+            x = self.inference_model(x)
+            return nn.sigmoid(x)
+        # multi-instrument head: keep channels, linear over bins
+        x = jnp.moveaxis(x, -1, 1)               # (B, out_class, T, F)
+        x = self.inference_model(x)
+        return nn.sigmoid(x)
+
+
+@dataclasses.dataclass
+class SemanticSegmentation:
+    """Batch contract (`model/Segmentation.py:539-631`)."""
+    out_class: int = 1
+    dropout_rate: float = 0.4
+    log: bool = True
+    mode: str = "imagewise"
+    spec: str = "Mel"
+    xi: float = 1e-6
+    eps: float = 1e-2
+    kl_div: bool = False
+    n_heads: int = 1
+    reconstruction: bool = False
+
+    def __post_init__(self):
+        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.module = SegmentationModule(self.n_bins, self.out_class,
+                                         self.dropout_rate)
+        self.normalize = Normalization(self.mode)
+        self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
+                                 kl_div=self.kl_div, norm_axis=2)
+
+    def init(self, key, seq_frames: int = 640):
+        dummy = jnp.zeros((1, seq_frames, self.n_bins, 1))
+        return self.module.init({"params": key}, dummy, train=False)
+
+    def make_spec(self, audio):
+        from ..parallel.mesh import spec_constraint
+
+        spec = self.frontend(audio[:, :-1])
+        if self.log:
+            spec = jnp.log(spec + 1e-5)
+        spec = self.normalize(spec)
+        return spec_constraint(spec[..., None])
+
+    def _model_fn(self, variables, train, rngs=None):
+        def fn(x):
+            if train:
+                out, _ = self.module.apply(variables, x, train=True,
+                                           mutable=["batch_stats"],
+                                           rngs=rngs)
+                return out
+            return self.module.apply(variables, x, train=False)
+        return fn
+
+    def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
+                     vat: bool = False, train: bool = True):
+        prefix = "train" if train else "test"
+        frame_label = batch_l["frame"]
+        zero = jnp.zeros(())
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        key, drop_key = jax.random.split(key)
+        rngs = {"dropout": drop_key} if train else None
+
+        lds_ul, r_norm_ul = zero, zero
+        if batch_ul is not None:
+            spec_ul = self.make_spec(batch_ul["audio"])
+            k_ul, key = jax.random.split(key)
+            lds_ul, _, rn = vat_loss(self._model_fn(variables, train, rngs),
+                                     spec_ul, k_ul, self.vat_cfg)
+            r_norm_ul = jnp.mean(jnp.abs(rn))
+
+        spec = self.make_spec(batch_l["audio"])
+
+        lds_l, r_adv, r_norm_l = zero, None, zero
+        if vat:
+            k_l, key = jax.random.split(key)
+            lds_l, r_adv, rn = vat_loss(self._model_fn(variables, train,
+                                                       rngs),
+                                        spec, k_l, self.vat_cfg)
+            r_adv = r_adv[..., 0]
+            r_norm_l = jnp.mean(jnp.abs(rn))
+
+        if train:
+            frame_pred, updates = self.module.apply(
+                variables, spec, train=True, mutable=["batch_stats"],
+                rngs=rngs)
+            new_stats = updates.get("batch_stats")
+        else:
+            frame_pred = self.module.apply(variables, spec, train=False)
+            new_stats = None
+
+        predictions = {"onset": frame_pred, "frame": frame_pred,
+                       "r_adv": r_adv}
+        losses = {
+            f"loss/{prefix}_frame":
+                binary_cross_entropy(frame_pred, frame_label),
+            f"loss/{prefix}_LDS_l": lds_l,
+        }
+        if train:
+            losses[f"loss/{prefix}_LDS_ul"] = lds_ul
+            losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
+            losses[f"loss/{prefix}_r_norm_ul"] = r_norm_ul
+        else:
+            losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
+        return predictions, losses, spec[..., 0], new_stats
+
+    def transcribe(self, variables, audio):
+        spec = self.make_spec(audio)
+        pianoroll = self.module.apply(variables, spec, train=False)
+        return {"onset": pianoroll, "frame": pianoroll}
+
+    def load_reference_weights(self, path: str, variables):
+        from ..train.torch_convert import load_torch_checkpoint, torch_to_flax
+
+        sd = load_torch_checkpoint(path)
+        converted, report = torch_to_flax(sd, variables)
+        # stride-(1,1) Conv_Blocks define conv_skip but never use it
+        # (`model/Segmentation.py:175-179`), so flax holds no params for it.
+        residual = [k for k in report["skipped"]
+                    if not k.startswith(("spectrogram.", "normalize.",
+                                         "vat_loss."))
+                    and ".conv_skip." not in k
+                    and ".rel_t" not in k and ".rel_f" not in k]
+        if residual:
+            raise ValueError(f"unconverted model weights: {residual}")
+        # rel_t / rel_f pass through verbatim (same shapes)
+        import jax as _jax
+
+        params = converted["params"]
+        for name, w in sd.items():
+            if name.endswith((".rel_t", ".rel_f")):
+                path_parts = name.split(".")
+                node = params
+                for p in path_parts[:-1]:
+                    node = node[p]
+                node[path_parts[-1]] = np.asarray(w, dtype=np.float32)
+        return converted
