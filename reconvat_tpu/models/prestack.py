@@ -1,0 +1,171 @@
+"""Prestack baseline: U-Net front + ResNet-18 classifier per frame patch.
+
+Port target: reference `Prestack_Model` (`model/Unet_prestack.py:113-176`):
+a stride-1 U-Net "prestack" feeding a torchvision resnet18 whose conv1 is
+patched to 1 input channel and fc to 88 outputs, applied to 229x25
+per-frame patches. The reference iterates patches in a Python loop one at a
+time (documented by its authors as crash-prone,
+`train_baseline_Prestack.py:114`); here all T patches of a clip run as one
+batched device computation. The ResNet-18 is home-grown (torchvision's
+graph, reimplemented in flax — no torch.hub at build time).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..nn.unet import Decoder, Encoder, torch_conv_init
+from ..ops.normalize import Normalization
+from ..ops.spectrogram import make_frontend
+from .losses import binary_cross_entropy
+
+N_KEYS = C.N_KEYS
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+
+    def setup(self):
+        self.conv1 = nn.Conv(self.features, (3, 3),
+                             strides=(self.strides, self.strides),
+                             padding=[(1, 1), (1, 1)], use_bias=False,
+                             kernel_init=torch_conv_init)
+        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.conv2 = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                             use_bias=False, kernel_init=torch_conv_init)
+        self.bn2 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        if self.downsample:
+            self.down_conv = nn.Conv(self.features, (1, 1),
+                                     strides=(self.strides, self.strides),
+                                     use_bias=False,
+                                     kernel_init=torch_conv_init)
+            self.down_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+
+    def __call__(self, x, train: bool):
+        identity = x
+        out = nn.relu(self.bn1(self.conv1(x), use_running_average=not train))
+        out = self.bn2(self.conv2(out), use_running_average=not train)
+        if self.downsample:
+            identity = self.down_bn(self.down_conv(x),
+                                    use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+class ResNet18(nn.Module):
+    """torchvision resnet18 graph: conv7x7/2 -> maxpool3/2 -> 4 stages of 2
+    BasicBlocks (64/128/256/512) -> global avgpool -> fc."""
+    num_classes: int = N_KEYS
+    in_features: int = 64
+
+    def setup(self):
+        self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2),
+                             padding=[(3, 3), (3, 3)], use_bias=False,
+                             kernel_init=torch_conv_init)
+        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        blocks = []
+        for stage, (feats, stride) in enumerate(
+                [(64, 1), (128, 2), (256, 2), (512, 2)]):
+            for i in range(2):
+                s = stride if i == 0 else 1
+                blocks.append(BasicBlock(feats, s,
+                                         downsample=(i == 0 and stage > 0)))
+        self.blocks = blocks
+        self.fc = nn.Dense(self.num_classes, kernel_init=torch_conv_init)
+
+    def __call__(self, x, train: bool):
+        x = nn.relu(self.bn1(self.conv1(x), use_running_average=not train))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        for block in self.blocks:
+            x = block(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        return self.fc(x)
+
+
+class PrestackModule(nn.Module):
+    """U-Net prestack (stride-1 downsampling convs,
+    `model/Unet_prestack.py:98-109`) -> ResNet-18 over each 229x25 patch."""
+    n_bins: int = C.N_BINS
+    patch: int = 25
+
+    def setup(self):
+        self.Unet1_encoder = Encoder(ds_ksize=(3, 3), ds_stride=(1, 1))
+        self.Unet1_decoder = Decoder(num_instruments=1, ds_ksize=(3, 3),
+                                     ds_stride=(1, 1))
+        self.resnet = ResNet18(N_KEYS)
+
+    def __call__(self, spec, train: bool = False):
+        """spec (B, T, F) -> logits (B, T, 88) (sigmoid applied by caller,
+        matching `model/Unet_prestack.py:158`)."""
+        B, T, F = spec.shape
+        pad = self.patch // 2
+        padded = jnp.pad(spec, ((0, 0), (pad, pad), (0, 0)))
+        # per-frame patches: (B, T, F, patch) -> flatten into the batch.
+        import numpy as np
+
+        idx = np.arange(T)[:, None] + np.arange(self.patch)[None, :]
+        patches = padded[:, idx]                 # (B, T, patch, F)
+        # reference patches are (freq, time) images
+        patches = jnp.swapaxes(patches, 2, 3)    # (B, T, F, patch)
+        x = patches.reshape(B * T, F, self.patch, 1)
+        z, s, c = self.Unet1_encoder(x, train)
+        x = self.Unet1_decoder(z, s, c, train)   # (B*T, F, patch, 1)
+        logits = self.resnet(x, train)           # (B*T, 88)
+        return logits.reshape(B, T, N_KEYS)
+
+
+@dataclasses.dataclass
+class Prestack:
+    """Batch contract (`model/Unet_prestack.py:129-176`): supervised only;
+    loss key 'loss/train_frame' in train and eval like the reference."""
+    log: bool = True
+    mode: str = "imagewise"
+    spec: str = "Mel"
+    n_heads: int = 4
+    reconstruction: bool = False
+
+    def __post_init__(self):
+        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.module = PrestackModule(self.n_bins)
+        self.normalize = Normalization(self.mode)
+
+    def init(self, key, seq_frames: int = 640):
+        dummy = jnp.zeros((1, min(seq_frames, 8), self.n_bins))
+        return self.module.init(key, dummy, train=False)
+
+    def make_spec(self, audio):
+        spec = self.frontend(audio[:, :-1])
+        spec = jnp.log(spec + 1e-5)
+        return self.normalize(spec)
+
+    def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
+                     vat: bool = False, train: bool = True):
+        frame_label = batch_l["frame"]
+        spec = self.make_spec(batch_l["audio"])
+        if train:
+            logits, updates = self.module.apply(variables, spec, train=True,
+                                                mutable=["batch_stats"])
+            new_stats = updates.get("batch_stats")
+        else:
+            logits = self.module.apply(variables, spec, train=False)
+            new_stats = None
+        frame_pred = nn.sigmoid(logits)
+        predictions = {"onset": frame_pred, "frame": frame_pred,
+                       "r_adv": None}
+        losses = {"loss/train_frame":
+                  binary_cross_entropy(frame_pred, frame_label)}
+        return predictions, losses, spec, new_stats
+
+    def transcribe(self, variables, audio):
+        spec = self.make_spec(audio)
+        frame_pred = nn.sigmoid(self.module.apply(variables, spec,
+                                                  train=False))
+        return {"onset": frame_pred, "frame": frame_pred}

@@ -32,6 +32,12 @@ class VATConfig:
     binwise: bool = False
     grad_rescue: float = 1e10   # d * 1e10 underflow rescue (UNet variants)
     norm_axis: int = -1         # axis of the per-vector L2 norm
+    clamp: bool = True          # clamp perturbed input to [0, 1]
+    # optional custom objective: (y_pred_tree, y_ref_tree) ->
+    # (total, loss_tree); overrides the BCE/KL default (used by the
+    # frame-stack variant's activation-MSE mode,
+    # reference `model/onset_frame_VAT.py:232-240`)
+    objective: Callable | None = None
 
 
 def l2_normalize(d, binwise: bool = False, axis: int = -1):
@@ -70,13 +76,21 @@ def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
     else:
         d = init_d  # deterministic seed direction (tests / reproducibility)
 
+    def objective(y_pred):
+        if cfg.objective is not None:
+            return cfg.objective(y_pred, y_ref)
+        return _tree_objective(y_pred, y_ref, cfg.kl_div)
+
+    def perturbed(r):
+        xr = x + r
+        return jnp.clip(xr, 0.0, 1.0) if cfg.clamp else xr
+
     def adv_objective(d_var):
         # Differentiate through the normalization, matching the reference's
         # `loss.backward(); d = d.grad` (`model/self_attention_VAT.py:122-130`)
         # — the resulting direction is g projected orthogonal to d.
         r = cfg.xi * l2_normalize(d_var, cfg.binwise, cfg.norm_axis)
-        y_pred = apply_fn(jnp.clip(x + r, 0.0, 1.0))
-        total, _ = _tree_objective(y_pred, y_ref, cfg.kl_div)
+        total, _ = objective(apply_fn(perturbed(r)))
         return total
 
     for _ in range(cfg.n_power):
@@ -84,6 +98,6 @@ def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
         d = jax.lax.stop_gradient(grad_d) * cfg.grad_rescue
 
     r_adv = cfg.eps * l2_normalize(d, cfg.binwise, cfg.norm_axis)
-    y_pred = apply_fn(jnp.clip(x + r_adv, 0.0, 1.0))
-    _, loss_tree = _tree_objective(y_pred, y_ref, cfg.kl_div)
+    y_pred = apply_fn(perturbed(r_adv))
+    _, loss_tree = objective(y_pred)
     return loss_tree, r_adv, l2_normalize(d, cfg.binwise, cfg.norm_axis)
