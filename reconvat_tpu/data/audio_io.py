@@ -23,9 +23,12 @@ def _native_lib():
         return _NATIVE
     _NATIVE_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for cand in (os.path.join(here, "..", "native", "build",
+    for cand in (os.path.join(here, "..", "native",
                               "libreconvat_native.so"),
-                 os.path.join(here, "native", "libreconvat_native.so")):
+                 os.path.join(here, "native", "libreconvat_native.so"),
+                 os.environ.get("RECONVAT_NATIVE_LIB", "")):
+        if not cand:
+            continue
         cand = os.path.abspath(cand)
         if os.path.exists(cand):
             lib = ctypes.CDLL(cand)

@@ -16,7 +16,61 @@ Semantics preserved bit-for-bit:
 """
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    if os.environ.get("RECONVAT_NO_NATIVE"):
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cand = os.path.join(here, "native", "libreconvat_native.so")
+    if os.path.exists(cand):
+        lib = ctypes.CDLL(cand)
+        lib.extract_notes.restype = ctypes.c_longlong
+        lib.extract_notes.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))]
+        lib.notes_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        _NATIVE = lib
+    return _NATIVE
+
+
+def _extract_notes_native(onsets, frames, onset_threshold, frame_threshold,
+                          rule):
+    lib = _native_lib()
+    if lib is None:
+        return None
+    on = np.ascontiguousarray(onsets, dtype=np.float32)
+    fr = np.ascontiguousarray(frames, dtype=np.float32)
+    if on.ndim != 2 or fr.shape != on.shape:
+        return None
+    T, P = on.shape
+    buf = ctypes.POINTER(ctypes.c_int32)()
+    n = lib.extract_notes(
+        on.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T, P, onset_threshold, frame_threshold,
+        1 if rule == "rule1" else 0, ctypes.byref(buf))
+    if n < 0:
+        return None
+    try:
+        if n == 0:
+            return np.array([]), np.array([])
+        arr = np.ctypeslib.as_array(buf, shape=(int(n), 3)).copy()
+    finally:
+        lib.notes_free(buf)
+    return arr[:, 0], arr[:, 1:3]
 
 
 def _as_bool(x, threshold):
@@ -44,16 +98,20 @@ def extract_notes_wo_velocity(onsets, frames, onset_threshold=0.5,
     (N, 2)) in frame indices, matching reference
     `extract_notes_wo_velocity` (`model/decoding.py:4-55`).
     """
+    if rule not in ("rule1", "rule2"):
+        raise NameError("Please enter the correct rule name")
+
+    native = _extract_notes_native(np.asarray(onsets), np.asarray(frames),
+                                   onset_threshold, frame_threshold, rule)
+    if native is not None:
+        return native
+
     on = _as_bool(onsets, onset_threshold)
     fr = _as_bool(frames, frame_threshold)
 
     onset_diff = np.concatenate([on[:1], on[1:] & ~on[:-1]], axis=0)
-    if rule == "rule2":
-        pass
-    elif rule == "rule1":
+    if rule == "rule1":
         onset_diff = onset_diff & fr
-    else:
-        raise NameError("Please enter the correct rule name")
 
     starts = np.argwhere(onset_diff)  # row-major (t, p), sorted by t then p
     if len(starts) == 0:
