@@ -50,12 +50,20 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", 10))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        roll = forward(variables, audio_dev)
-        roll_host = np.asarray(roll)
+    # software pipeline: device forward i+1 is in flight while the host
+    # decodes batch i (jax dispatch is async; np.asarray is the sync point)
+    pending = forward(variables, audio_dev)
+    for _ in range(iters - 1):
+        nxt = forward(variables, audio_dev)
+        roll_host = np.asarray(pending)
         for b in range(batch):
             decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
                                              rule="rule2")
+        pending = nxt
+    roll_host = np.asarray(pending)
+    for b in range(batch):
+        decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
+                                         rule="rule2")
     dt = time.perf_counter() - t0
 
     realtime = audio_seconds_per_batch * iters / dt
