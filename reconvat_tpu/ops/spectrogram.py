@@ -21,8 +21,19 @@ from . import filterbanks as fb
 
 
 def _frame(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """(B, L) -> (B, T, frame_length) overlapping frames, T = (L-len)//hop+1."""
+    """(B, L) -> (B, T, frame_length) overlapping frames, T = (L-len)//hop+1.
+
+    When hop divides frame_length (the 512 | 2048 default), frames are four
+    concatenated strided row views — pure slicing that XLA fuses into the
+    downstream DFT matmul, instead of a T x frame_length gather.
+    """
     n_frames = (x.shape[-1] - frame_length) // hop + 1
+    if frame_length % hop == 0:
+        k = frame_length // hop
+        n_rows = x.shape[-1] // hop
+        rows = x[..., :n_rows * hop].reshape(*x.shape[:-1], n_rows, hop)
+        parts = [rows[..., i:n_frames + i, :] for i in range(k)]
+        return jnp.concatenate(parts, axis=-1)
     idx = (np.arange(n_frames)[:, None] * hop
            + np.arange(frame_length)[None, :])
     return x[..., idx]
@@ -155,6 +166,136 @@ class CQT1992v2:
         return jnp.swapaxes(mag, 1, 2)  # (B, T, bins)
 
 
+class CFP:
+    """Combined Frequency and Periodicity frontend.
+
+    Port of reference `Combined_Frequency_Periodicity`
+    (`model/Spectrogram.py:2093-2233`): blackman-harris STFT magnitude ->
+    iterated real-FFT nonlinearity cascade between spectrum and cepstrum
+    (g = [0.24, 0.6, 1]) -> log-frequency and log-quefrency triangular
+    projections -> elementwise product Z = tfrLF * tfrLQ.
+
+    Output is time-major (B, T, n_bins); n_bins = quef2logfreq rows
+    (reference drops the first and last STFT frame, preserved here).
+    """
+
+    def __init__(self, fr=2, fs=16000, hop_length=320, window_size=2049,
+                 fc=80, tc=1 / 1000, g=(0.24, 0.6, 1), num_per_oct=48):
+        import scipy.signal
+
+        self.window_size = window_size
+        self.hop_length = hop_length
+        self.N = int(fs / float(fr))
+        f = fs * np.linspace(0, 0.5, round(self.N // 2), endpoint=True)
+        try:
+            h = scipy.signal.windows.blackmanharris(window_size)
+        except AttributeError:
+            h = scipy.signal.blackmanharris(window_size)
+        self.h = h.astype(np.float32)
+        self.g = list(g)
+        self.tc_idx = round(fs * tc)
+        self.fc_idx = round(fc / fr)
+        self.high_freq_idx = int(round((1 / tc) / fr) + 1)
+        self.high_quef_idx = int(round(fs / fc) + 1)
+        self.f = f[:self.high_freq_idx]
+        self.q = np.arange(self.high_quef_idx) / float(fs)
+
+        f2lf, q2lf = self._create_logfreq_matrices(self.f, self.q, fr, fc,
+                                                   tc, num_per_oct, fs)
+        self.freq2logfreq_matrix = jnp.asarray(f2lf.astype(np.float32))
+        self.quef2logfreq_matrix = jnp.asarray(q2lf.astype(np.float32))
+        self.n_bins = q2lf.shape[0]
+        # precompute the centered window (padded to N) used by torch.stft
+        self.window_full = jnp.asarray(
+            fb.pad_center(self.h, self.N).astype(np.float32))
+        self.h_norm = float(np.linalg.norm(self.h))
+
+    def _nonlinear(self, X, g, cutoff):
+        cutoff = int(cutoff)
+        n = X.shape[-1]
+        mask = np.ones(n, dtype=np.float32)
+        mask[:cutoff] = 0
+        mask[n - cutoff:] = 0
+        if g != 0:
+            X = jnp.maximum(X, 0.0) * mask
+            return X ** g
+        return jnp.log(X) * mask
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) -> (B, T-2, n_bins)."""
+        N = self.N
+        pad = N // 2
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+        frames = _frame(xp, N, self.hop_length) * self.window_full
+        spec_c = jnp.fft.fft(frames, axis=-1)
+        tfr0 = jnp.abs(spec_c).astype(jnp.float32) / self.h_norm
+        tfr0 = tfr0[:, 1:-1]                       # drop first/last frame
+
+        spec = jnp.maximum(tfr0, 0.0) ** self.g[0]
+        ceps = jnp.zeros_like(spec)
+        for gc in range(1, len(self.g)):
+            if gc % 2 == 1:
+                ceps = jnp.real(jnp.fft.fft(spec, axis=-1)) / np.sqrt(N)
+                ceps = self._nonlinear(ceps, self.g[gc], self.tc_idx)
+            else:
+                spec = jnp.real(jnp.fft.fft(ceps, axis=-1)) / np.sqrt(N)
+                spec = self._nonlinear(spec, self.g[gc], self.fc_idx)
+
+        half = int(round(N / 2))
+        tfr = spec[:, :, :half][:, :, :self.high_freq_idx]
+        cep = ceps[:, :, :half][:, :, :self.high_quef_idx]
+        tfrLF = jnp.einsum("nf,btf->btn", self.freq2logfreq_matrix, tfr)
+        tfrLQ = jnp.einsum("nq,btq->btn", self.quef2logfreq_matrix, cep)
+        return tfrLF * tfrLQ                       # (B, T, n_bins)
+
+    @staticmethod
+    def _create_logfreq_matrices(f, q, fr, fc, tc, num_per_oct, fs):
+        """Reference `create_logfreq_matrix`
+        (`model/Spectrogram.py:2193-2233`)."""
+        start_freq, stop_freq = fc, 1 / tc
+        nest = int(np.ceil(np.log2(stop_freq / start_freq)) * num_per_oct)
+        central_freq = []
+        for i in range(nest):
+            cen = start_freq * 2.0 ** (i / num_per_oct)
+            if cen < stop_freq:
+                central_freq.append(cen)
+            else:
+                break
+        nest = len(central_freq)
+        freq_band = np.zeros((nest - 1, len(f)))
+        for i in range(1, nest - 1):
+            l = int(round(central_freq[i - 1] / fr))
+            r = int(round(central_freq[i + 1] / fr) + 1)
+            if l >= r - 1:
+                freq_band[i, l] = 1
+            else:
+                for j in range(l, min(r, len(f))):
+                    if central_freq[i - 1] < f[j] < central_freq[i]:
+                        freq_band[i, j] = ((f[j] - central_freq[i - 1])
+                                           / (central_freq[i]
+                                              - central_freq[i - 1]))
+                    elif central_freq[i] < f[j] < central_freq[i + 1]:
+                        freq_band[i, j] = ((central_freq[i + 1] - f[j])
+                                           / (central_freq[i + 1]
+                                              - central_freq[i]))
+        with np.errstate(divide="ignore"):
+            finv = 1 / q
+        quef_band = np.zeros((nest - 1, len(finv)))
+        for i in range(1, nest - 1):
+            lo = int(round(fs / central_freq[i + 1]))
+            hi = int(round(fs / central_freq[i - 1]) + 1)
+            for j in range(lo, min(hi, len(finv))):
+                if central_freq[i - 1] < finv[j] < central_freq[i]:
+                    quef_band[i, j] = ((finv[j] - central_freq[i - 1])
+                                       / (central_freq[i]
+                                          - central_freq[i - 1]))
+                elif central_freq[i] < finv[j] < central_freq[i + 1]:
+                    quef_band[i, j] = ((central_freq[i + 1] - finv[j])
+                                       / (central_freq[i + 1]
+                                          - central_freq[i]))
+        return freq_band, quef_band
+
+
 def make_frontend(spec: str = "Mel", sr: int | None = None,
                   hop_length: int | None = None, n_bins: int | None = None,
                   precision=jax.lax.Precision.HIGHEST):
@@ -175,4 +316,10 @@ def make_frontend(spec: str = "Mel", sr: int | None = None,
         return CQT1992v2(sr=sr, hop_length=hop_length, n_bins=n_bins,
                          fmin=27.5, bins_per_octave=12 * r,
                          precision=precision), n_bins
+    if spec == "CFP":
+        # reference `UNet` CFP config (`model/self_attention_VAT.py:1031-1037`)
+        frontend = CFP(fs=sr, fr=4, window_size=C.WINDOW_LENGTH,
+                       hop_length=hop_length, fc=C.MEL_FMIN,
+                       tc=1 / C.MEL_FMAX)
+        return frontend, frontend.n_bins
     raise ValueError(f"unknown spectrogram type: {spec}")

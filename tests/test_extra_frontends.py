@@ -1,0 +1,112 @@
+"""Extra frontend classes: MFCC / Gammatonegram / DFT / iSTFT /
+Griffin-Lim / CQT2010v2 / CFP."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reconvat_tpu.ops import extra_frontends as xf
+from reconvat_tpu.ops import filterbanks as fb
+from reconvat_tpu.ops.spectrogram import CQT1992v2, make_frontend
+
+
+def _tone(freq=440.0, n=32000, sr=16000, amp=0.5):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)[None]
+
+
+def test_mfcc_shape_and_dc():
+    mfcc = xf.MFCC(sr=16000, n_mfcc=20, n_mels=64, hop_length=512)
+    out = mfcc(jnp.asarray(_tone()))
+    assert out.shape[0] == 1 and out.shape[2] == 20
+    # scipy cross-check of the orthonormal DCT-II
+    from scipy.fftpack import dct
+
+    x = np.random.RandomState(0).rand(1, 4, 64).astype(np.float32)
+    got = np.asarray(xf.MFCC(sr=16000, n_mfcc=64, n_mels=64)._dct(
+        jnp.asarray(x)))
+    expect = dct(x, type=2, norm="ortho", axis=-1)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_gammatone_filterbank_properties():
+    w = fb.gammatone_filterbank(16000, 2048, 64, 20.0, 8000.0)
+    assert w.shape == (64, 1025)
+    assert np.all(np.isfinite(w)) and np.all(w >= 0)
+    cfs = fb.erb_centre_freqs(20.0, 8000.0, 64)
+    freqs = np.linspace(0, 8000, 1025)
+    # peaks land near the centre frequencies
+    for i in [5, 20, 40, 60]:
+        peak = freqs[w[i].argmax()]
+        assert abs(peak - cfs[i]) / cfs[i] < 0.1, (peak, cfs[i])
+
+
+def test_gammatonegram_runs():
+    g = xf.Gammatonegram(sr=16000, n_fft=2048, n_bins=64, hop_length=512,
+                         fmin=20.0, fmax=8000.0)
+    out = g(jnp.asarray(_tone()))
+    assert out.shape == (1, 63, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dft_istft_roundtrip():
+    x = _tone(n=16384)
+    dft = xf.DFT(n_fft=2048, hop_length=512)
+    re, im = dft(jnp.asarray(x))
+    rec = dft.inverse(re, im, length=x.shape[1])
+    np.testing.assert_allclose(np.asarray(rec), x, atol=1e-3)
+
+
+def test_istft_inverts_rfft_frames():
+    from reconvat_tpu.ops.spectrogram import STFT, _frame, reflect_pad
+
+    x = _tone(n=16384)
+    n_fft, hop = 2048, 512
+    win = fb.pad_center(fb.get_window("hann", n_fft), n_fft)
+    frames = np.asarray(_frame(reflect_pad(jnp.asarray(x), 1024),
+                               n_fft, hop)) * win
+    spec = np.fft.rfft(frames, axis=-1)
+    istft = xf.ISTFT(n_fft=n_fft, hop_length=hop)
+    rec = istft(jnp.asarray(spec.real.astype(np.float32)),
+                jnp.asarray(spec.imag.astype(np.float32)),
+                length=x.shape[1])
+    np.testing.assert_allclose(np.asarray(rec), x, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_griffin_lim_reconstructs_tone():
+    x = _tone(n=8192, freq=523.25)
+    gl = xf.GriffinLim(n_fft=1024, hop_length=256, n_iter=32)
+    mag = jnp.abs(gl._stft_complex(jnp.asarray(x)))
+    rec = np.asarray(gl(mag, length=x.shape[1]))
+    # phase retrieval: spectrum magnitude should match closely
+    mag_rec = np.abs(np.asarray(gl._stft_complex(jnp.asarray(rec))))
+    err = np.linalg.norm(mag_rec - np.asarray(mag)) / np.linalg.norm(mag)
+    assert err < 0.15, err
+
+
+@pytest.mark.slow
+def test_cqt2010_close_to_cqt1992():
+    """The multi-octave decimating CQT should approximate the direct CQT."""
+    x = _tone(n=65536, freq=440.0)
+    kw = dict(sr=16000, hop_length=512, n_bins=84, fmin=32.70,
+              bins_per_octave=12)
+    direct = np.asarray(CQT1992v2(**kw)(jnp.asarray(x)))
+    multi = np.asarray(xf.CQT2010v2(**kw)(jnp.asarray(x)))
+    T = min(direct.shape[1], multi.shape[1])
+    d, m = direct[:, :T], multi[:, :T]
+    # compare shape + peak bin + overall correlation
+    assert m.shape[-1] == 84
+    assert abs(int(d[0, T // 2].argmax()) - int(m[0, T // 2].argmax())) <= 1
+    corr = np.corrcoef(d.ravel(), m.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_cfp_shapes():
+    f, n = make_frontend("CFP")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64 * 512 - 1)
+                    .astype(np.float32) * 0.1)
+    z = f(x)
+    assert z.shape == (1, 62, n)
+    assert np.all(np.isfinite(np.asarray(z)))
