@@ -239,6 +239,71 @@ class ReconVAT:
 
         return predictions, losses, spec[..., 0], new_stats
 
+    def run_on_batch_application(self, variables, batch_l, batch_ul=None,
+                                 key=None, vat: bool = False,
+                                 train: bool = True):
+        """Application-domain semi-supervised fine-tuning (reference
+        `UNet.run_on_batch_application`, `model/self_attention_VAT.py:
+        1205-1291`): adds an unlabeled-consistency term
+        BCE(ul_frame2, stop_grad(ul_frame)) between the two transcriber
+        views of the unlabeled audio."""
+        if not self.reconstruction:
+            raise ValueError("run_on_batch_application requires "
+                             "reconstruction=True")
+        prefix = "train" if train else "test"
+        frame_label = batch_l["frame"]
+        zero = jnp.zeros(())
+
+        lds_ul, r_norm_ul = zero, zero
+        ul_consistency = zero
+        if batch_ul is not None:
+            spec_ul = self.make_spec(batch_ul["audio"])
+            k_ul, key = jax.random.split(key)
+            lds_ul, _, rn = vat_loss(self._transcriber_fn(variables, train),
+                                     spec_ul, k_ul, self.vat_cfg)
+            r_norm_ul = jnp.mean(jnp.abs(rn))
+            ul_out, _ = self._apply(variables, spec_ul, train)
+            _, ul_pianoroll, ul_pianoroll2, _ = ul_out
+            ul_consistency = binary_cross_entropy(
+                ul_pianoroll2, jax.lax.stop_gradient(ul_pianoroll))
+
+        spec = self.make_spec(batch_l["audio"])
+        lds_l, r_adv, r_norm_l = zero, None, zero
+        if vat:
+            k_l, key = jax.random.split(key)
+            lds_l, r_adv, rn = vat_loss(self._transcriber_fn(variables,
+                                                             train),
+                                        spec, k_l, self.vat_cfg)
+            r_adv = r_adv[..., 0]
+            r_norm_l = jnp.mean(jnp.abs(rn))
+
+        out, new_stats = self._apply(variables, spec, train)
+        reconstruction, pianoroll, pianoroll2, a = out
+        predictions = {
+            "onset": pianoroll, "frame": pianoroll,
+            "frame2": pianoroll2, "onset2": pianoroll2,
+            "attention": a, "r_adv": r_adv,
+            "reconstruction": reconstruction,
+        }
+        losses = {
+            f"loss/{prefix}_reconstruction":
+                mse_loss(reconstruction[..., 0],
+                         jax.lax.stop_gradient(spec[..., 0])),
+            f"loss/{prefix}_frame":
+                binary_cross_entropy(pianoroll, frame_label),
+            f"loss/{prefix}_frame2":
+                binary_cross_entropy(pianoroll2, frame_label),
+            f"loss/{prefix}_LDS_l": lds_l,
+        }
+        if train:
+            losses["loss/ul_consistency_wrt1"] = ul_consistency
+            losses[f"loss/{prefix}_LDS_ul"] = lds_ul
+            losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
+            losses[f"loss/{prefix}_r_norm_ul"] = r_norm_ul
+        else:
+            losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
+        return predictions, losses, spec[..., 0], new_stats
+
     def transcribe(self, variables, audio):
         """Deployment path (reference `UNet.transcribe`,
         `model/self_attention_VAT.py:1293-1314`): onset roll == frame roll."""

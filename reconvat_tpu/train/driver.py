@@ -89,10 +89,13 @@ def run_training(model, cfg, datasets=None):
 
     summary(type(model).__name__, {"params": state.params})
 
+    application = cfg.get("application", False)
     train_steps = {
-        False: make_train_step(model, alpha, vat=False, use_unlabeled=False),
+        False: make_train_step(model, alpha, vat=False, use_unlabeled=False,
+                               application=application),
         True: make_train_step(model, alpha, vat=True,
-                              use_unlabeled=ul_loader is not None),
+                              use_unlabeled=ul_loader is not None,
+                              application=application),
     }
     eval_step = make_eval_step(model)
 

@@ -81,10 +81,14 @@ def total_loss_from_dict(losses: dict, alpha: float) -> jnp.ndarray:
     return total
 
 
-def make_train_step(model, alpha: float, vat: bool,
-                    use_unlabeled: bool) -> Callable:
+def make_train_step(model, alpha: float, vat: bool, use_unlabeled: bool,
+                    application: bool = False) -> Callable:
     """Builds a jitted step: (state, batch_l, batch_ul, key) ->
-    (state, losses)."""
+    (state, losses). `application=True` uses run_on_batch_application
+    (the unlabeled-consistency fine-tuning objective,
+    reference `model/helper_functions.py:618-663`)."""
+    run = (model.run_on_batch_application if application
+           else model.run_on_batch)
 
     @jax.jit
     def step(state: TrainState, batch_l, batch_ul, key):
@@ -92,7 +96,7 @@ def make_train_step(model, alpha: float, vat: bool,
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
-            _, losses, _, new_stats = model.run_on_batch(
+            _, losses, _, new_stats = run(
                 variables, batch_l,
                 batch_ul if use_unlabeled else None,
                 key, vat=vat, train=True)
