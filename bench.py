@@ -32,7 +32,8 @@ def main():
     samples = frames * C.HOP_LENGTH  # 327680 => 20.48 s per item
     audio_seconds_per_batch = batch * samples / C.SAMPLE_RATE
 
-    model = ReconVAT(reconstruction=True)
+    attn_impl = os.environ.get("BENCH_ATTN", "pallas")
+    model = ReconVAT(reconstruction=True, attn_impl=attn_impl)
     variables = model.init(jax.random.PRNGKey(0), seq_frames=frames)
     # Random init makes every sigmoid hover around 0.5, i.e. a posteriogram
     # that is ~50% "active" — two orders of magnitude denser than any

@@ -233,6 +233,29 @@ def save_midi(path: str, pitches, intervals, velocities):
         f.write(b"MTrk" + struct.pack(">I", len(track)) + bytes(track))
 
 
+def midi_files_to_tsv(paths, n_jobs: int | None = None):
+    """Batch midi -> tsv conversion (reference `model/midi.py:87-106` CLI)."""
+    import concurrent.futures
+    import os
+
+    def process(input_file):
+        if input_file.endswith(".mid"):
+            output_file = input_file[:-4] + ".tsv"
+        elif input_file.endswith(".midi"):
+            output_file = input_file[:-5] + ".tsv"
+        else:
+            print(f"ignoring non-MIDI file {input_file}")
+            return None
+        midi_data = parse_midi(input_file)
+        np.savetxt(output_file, midi_data, "%.6f", "\t",
+                   header="onset\toffset\tnote\tvelocity")
+        return output_file
+
+    with concurrent.futures.ThreadPoolExecutor(
+            max_workers=n_jobs or os.cpu_count()) as ex:
+        return [r for r in ex.map(process, paths) if r]
+
+
 def write_midi_events(path: str, tracks, ticks_per_beat=DEFAULT_TICKS_PER_BEAT):
     """General multi-track writer; tracks = list of [(tick, status_bytes)]."""
     with open(path, "wb") as f:
@@ -246,3 +269,10 @@ def write_midi_events(path: str, tracks, ticks_per_beat=DEFAULT_TICKS_PER_BEAT):
                 last = tick
             track += _write_varint(0) + bytes([0xFF, 0x2F, 0x00])
             f.write(b"MTrk" + struct.pack(">I", len(track)) + bytes(track))
+
+
+if __name__ == "__main__":
+    import sys
+
+    for out in midi_files_to_tsv(sys.argv[1:]):
+        print(out)

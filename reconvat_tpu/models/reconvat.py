@@ -35,13 +35,15 @@ class Spec2Roll(nn.Module):
     n_bins: int = C.N_BINS
     complexity: int = 4
     attn_block_size: int = 128
+    attn_impl: str = "xla"
 
     def setup(self):
         self.Unet1_encoder = Encoder()
         self.Unet1_decoder = Decoder(num_instruments=1)
         self.lstm1 = MultiHeadAttention1D(
             out_features=self.n_bins * self.complexity, kernel_size=31,
-            groups=self.complexity, block_size=self.attn_block_size)
+            groups=self.complexity, block_size=self.attn_block_size,
+            impl=self.attn_impl)
         self.linear1 = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
 
     def __call__(self, x, train: bool = False):
@@ -57,13 +59,15 @@ class Roll2Spec(nn.Module):
     n_bins: int = C.N_BINS
     complexity: int = 4
     attn_block_size: int = 128
+    attn_impl: str = "xla"
 
     def setup(self):
         self.Unet2_encoder = Encoder()
         self.Unet2_decoder = Decoder(num_instruments=1)
         self.lstm2 = MultiHeadAttention1D(
             out_features=self.n_bins * self.complexity, kernel_size=31,
-            groups=4, block_size=self.attn_block_size)
+            groups=4, block_size=self.attn_block_size,
+            impl=self.attn_impl)
         self.linear2 = nn.Dense(self.n_bins, kernel_init=torch_conv_init)
 
     def __call__(self, x, train: bool = False):
@@ -79,13 +83,16 @@ class UNet(nn.Module):
     n_bins: int = C.N_BINS
     reconstruction: bool = True
     attn_block_size: int = 128
+    attn_impl: str = "xla"
 
     def setup(self):
         self.transcriber = Spec2Roll(self.n_bins,
-                                     attn_block_size=self.attn_block_size)
+                                     attn_block_size=self.attn_block_size,
+                                     attn_impl=self.attn_impl)
         if self.reconstruction:
             self.reconstructor = Roll2Spec(
-                self.n_bins, attn_block_size=self.attn_block_size)
+                self.n_bins, attn_block_size=self.attn_block_size,
+                attn_impl=self.attn_impl)
 
     def __call__(self, x, train: bool = False):
         pianoroll, a = self.transcriber(x, train)
@@ -117,13 +124,15 @@ class ReconVAT:
     eps: float = 2.0
     kl_div: bool = False
     attn_block_size: int = 128
+    attn_impl: str = "xla"     # 'pallas' fuses the banded attention kernel
     n_heads: int = 4  # for attention visualization metadata
 
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(self.spec)
         self.module = UNet(n_bins=self.n_bins,
                            reconstruction=self.reconstruction,
-                           attn_block_size=self.attn_block_size)
+                           attn_block_size=self.attn_block_size,
+                           attn_impl=self.attn_impl)
         self.normalize = Normalization(self.mode)
         # spec image is (B, T, F, 1): the per-vector L2 norm of the VAT
         # perturbation runs over the bins axis like the reference's

@@ -13,6 +13,8 @@ and both contractions run on the MXU.
 """
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -21,6 +23,36 @@ import numpy as np
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def banded_attention_pallas(q, kpad, vpad, rel, window, block):
+    """Pallas forward + XLA-differentiated backward (see
+    ops/pallas_attention.py)."""
+    from ..ops.pallas_attention import pallas_banded_forward
+
+    return pallas_banded_forward(q, kpad, vpad, rel, window, block)
+
+
+def _pallas_fwd(q, kpad, vpad, rel, window, block):
+    out = banded_attention_pallas(q, kpad, vpad, rel, window, block)
+    return out, (q, kpad, vpad, rel)
+
+
+def _pallas_bwd(window, block, residuals, g):
+    q, kpad, vpad, rel = residuals
+
+    def ref_fn(q_, k_, v_, r_):
+        out, _ = banded_attention(q_, k_, v_, r_, window,
+                                  block_size=min(block, 128),
+                                  return_probs=False)
+        return out
+
+    _, vjp = jax.vjp(ref_fn, q, kpad, vpad, rel)
+    return vjp(g)
+
+
+banded_attention_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
 def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
@@ -98,6 +130,8 @@ class MultiHeadAttention1D(nn.Module):
     use_bias: bool = False
     block_size: int = 128
     return_probs: bool = True
+    impl: str = "xla"          # 'xla' | 'pallas' (fused kernel, probs=None)
+    pallas_block: int = 256
 
     def setup(self):
         assert self.out_features % self.groups == 0
@@ -130,6 +164,13 @@ class MultiHeadAttention1D(nn.Module):
         rel = None
         if self.position:
             rel = self.rel[0].reshape(H, Dh, self.kernel_size)
+
+        if self.impl == "pallas":
+            if rel is None:
+                rel = jnp.zeros((H, Dh, self.kernel_size), q.dtype)
+            out = banded_attention_pallas(q, k, v, rel, self.kernel_size,
+                                          self.pallas_block)
+            return out.reshape(B, L, self.out_features), None
 
         out, attn = banded_attention(q, k, v, rel, self.kernel_size,
                                      self.block_size, self.return_probs)

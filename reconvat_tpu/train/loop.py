@@ -55,6 +55,24 @@ def eval_model(model, state, eval_step, ep, loader, key, verbose=False):
     return metrics
 
 
+def flatten_attention(a, w_size=31):
+    """Unroll a banded attention map (L, window) to a dense (L, L) image
+    for visualization (reference `flatten_attention`,
+    `model/helper_functions.py:527-540`)."""
+    a = np.asarray(a)
+    hw = (w_size - 1) // 2
+    L = a.shape[0]
+    out = np.zeros((L, L), dtype=a.dtype)
+    for t in range(L):
+        start = 0 if t - hw < 0 else t - hw
+        end = L if t + hw > L else t + hw
+        if t < hw:
+            out[t, start:end + 1] = a[t, -(end - start) - 1:]
+        else:
+            out[t, start:end] = a[t, :(end - start)]
+    return out
+
+
 class TensorboardLogger:
     """Scalar + figure logging with the reference's tags."""
 
@@ -148,4 +166,10 @@ def tensorboard_log(logger, model, state, batch_visualize, validation_set,
         if preds.get("r_adv") is not None:
             adv = np.asarray(mel) + np.asarray(preds["r_adv"])
             logger.log_images("images/Spec_adv", adv, ep)
+        if preds.get("attention") is not None:
+            attn = np.asarray(preds["attention"])  # (B, L, heads, window)
+            w = attn.shape[-1]
+            maps = [flatten_attention(attn[0, :, h], w)
+                    for h in range(attn.shape[2])]
+            logger.log_images("images/Attention", maps, ep)
     return losses

@@ -1,0 +1,75 @@
+"""Device-mesh parallelism: dp x sp sharding must not change the math."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reconvat_tpu.models.reconvat import ReconVAT
+from reconvat_tpu.parallel import mesh as pmesh
+from reconvat_tpu.train.state import create_train_state, make_train_step
+
+
+def _batch(batch, frames, seed):
+    r = np.random.RandomState(seed)
+    return {
+        "audio": (r.randn(batch, frames * 512) * 0.1).astype(np.float32),
+        "onset": (r.rand(batch, frames, 88) > 0.97).astype(np.float32),
+        "offset": (r.rand(batch, frames, 88) > 0.97).astype(np.float32),
+        "frame": (r.rand(batch, frames, 88) > 0.9).astype(np.float32),
+        "velocity": r.rand(batch, frames, 88).astype(np.float32),
+    }
+
+
+def test_eight_virtual_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device():
+    """One full VAT train step: dp=4 x sp=2 sharded vs single device."""
+    frames, batch = 64, 4
+    model = ReconVAT(reconstruction=True)
+    batch_l, batch_ul = _batch(batch, frames, 1), _batch(batch, frames, 2)
+    key = jax.random.PRNGKey(3)
+
+    def run(sharded):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   seq_frames=frames)
+        step = make_train_step(model, alpha=1.0, vat=True,
+                               use_unlabeled=True)
+        if sharded:
+            mesh = pmesh.make_mesh(8, sp=2)
+            with pmesh.activate(mesh) as ctx:
+                state = pmesh.replicate(state, ctx)
+                bl = pmesh.shard_batch(batch_l, ctx)
+                bu = pmesh.shard_batch(batch_ul, ctx)
+                new_state, losses = step(state, bl, bu, key)
+                jax.block_until_ready(new_state.params)
+        else:
+            new_state, losses = step(state, batch_l, batch_ul, key)
+        return ({k: float(v) for k, v in losses.items()},
+                jax.tree_util.tree_leaves(new_state.params)[0])
+
+    losses_1, leaf_1 = run(sharded=False)
+    losses_8, leaf_8 = run(sharded=True)
+    # cross-shard reduction order shifts fp32 sums at the ~1e-3 level
+    for k in losses_1:
+        np.testing.assert_allclose(losses_8[k], losses_1[k], rtol=3e-3,
+                                   atol=1e-4, err_msg=k)
+    # Adam's first update is ~ +-lr * sign(grad); elements whose gradient is
+    # at fp-noise level can flip sign between reduction orders. Require the
+    # overwhelming majority of parameters to agree to much better than lr.
+    a, b = np.asarray(leaf_8).ravel(), np.asarray(leaf_1).ravel()
+    frac_close = np.mean(np.abs(a - b) < 1e-4)
+    assert frac_close > 0.95, frac_close
+
+
+def test_shard_batch_layouts():
+    mesh = pmesh.make_mesh(8, sp=2)
+    with pmesh.activate(mesh) as ctx:
+        b = pmesh.shard_batch(_batch(4, 64, 0), ctx)
+        audio_sh = b["audio"].sharding
+        frame_sh = b["frame"].sharding
+        assert audio_sh.spec == jax.sharding.PartitionSpec("dp", None)
+        assert frame_sh.spec == jax.sharding.PartitionSpec("dp", "sp", None)
