@@ -81,7 +81,13 @@ def run_training(model, cfg, datasets=None):
         seq_frames=seq_frames)
 
     resume = cfg.get("resume_iteration")
-    if resume is not None:
+    if resume == "latest":
+        # auto-resume from the newest checkpoint in the run directory
+        path = ckpt.latest_checkpoint(cfg.get("trained_dir", logdir))
+        if path is not None:
+            state = ckpt.restore_checkpoint(path, state)
+            print(f"auto-resumed from {path}")
+    elif resume is not None:
         path = os.path.join(cfg.get("trained_dir", "trained_MAPS"),
                             f"model-{resume}")
         state = ckpt.restore_checkpoint(path, state)

@@ -42,6 +42,26 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
     return state, losses
 
 
+def train_model(model, state, train_step, ep, loader, key, verbose=True):
+    """Full-epoch supervised sweep over a loader (reference `train_model`,
+    `model/helper_functions.py:542-568`). Returns (state, losses)."""
+    total_loss = 0.0
+    losses = {}
+    n = 0
+    for batch in loader:
+        key, sub = jax.random.split(key)
+        b = device_batch(batch)
+        state, losses = train_step(state, b, b, sub)
+        total_loss += float(total_loss_from_dict(losses, 1.0))
+        n += 1
+        if verbose:
+            print(f"Train Epoch: {ep} [{n}]", end="\r")
+    if verbose:
+        print(" " * 100, end="\r")
+        print(f"Train Epoch: {ep}\tLoss: {total_loss / max(n, 1):.6f}")
+    return state, losses
+
+
 def eval_model(model, state, eval_step, ep, loader, key, verbose=False):
     """Reference `eval_model` (`model/helper_functions.py:667-687`)."""
     metrics = defaultdict(list)
