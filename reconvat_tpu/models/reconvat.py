@@ -313,15 +313,44 @@ class ReconVAT:
             losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
         return predictions, losses, spec[..., 0], new_stats
 
-    def transcribe(self, variables, audio):
+    def transcribe(self, variables, audio, bucket_frames: int = 0):
         """Deployment path (reference `UNet.transcribe`,
-        `model/self_attention_VAT.py:1293-1314`): onset roll == frame roll."""
-        spec = self.make_spec(audio)
+        `model/self_attention_VAT.py:1293-1314`): onset roll == frame roll.
+
+        bucket_frames > 0 pads the clip to a frame-bucket boundary so
+        arbitrary-length songs reuse a handful of compiled shapes (the
+        reference recompiles nothing because torch is eager; under jit,
+        exact per-song shapes would recompile per length). Normalization
+        statistics are computed over the true frames only, and the padded
+        tail is trimmed before returning — output differs from the exact
+        path only within the 15-frame attention halo at the clip end.
+        """
+        if bucket_frames:
+            n = audio.shape[1]
+            t_true = (n - 1) // C.HOP_LENGTH + 1
+            t_pad = -(-t_true // bucket_frames) * bucket_frames
+            n_pad = t_pad * C.HOP_LENGTH + 1
+            audio = jnp.pad(audio, ((0, 0), (0, n_pad - n)))
+            spec = self.frontend(audio[:, :-1])   # (B, t_pad + 1, F)
+            if self.log:
+                spec = jnp.log(spec + 1e-5)
+            # masked imagewise min-max over the true frames only
+            mask = (jnp.arange(spec.shape[1]) < t_true)[None, :, None]
+            x_max = jnp.max(jnp.where(mask, spec, -jnp.inf), axis=(1, 2),
+                            keepdims=True)
+            x_min = jnp.min(jnp.where(mask, spec, jnp.inf), axis=(1, 2),
+                            keepdims=True)
+            spec = ((spec - x_min) / (x_max - x_min))[..., None]
+        else:
+            t_true = None
+            spec = self.make_spec(audio)
         out = self.module.apply(variables, spec, train=False)
         if self.reconstruction:
             _, pianoroll, _, _ = out
         else:
             pianoroll, _ = out
+        if bucket_frames:
+            pianoroll = pianoroll[:, :t_true]
         return {"onset": pianoroll, "frame": pianoroll}
 
     # -- weights -------------------------------------------------------------

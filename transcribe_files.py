@@ -24,15 +24,24 @@ output_path = os.path.join(root, "Output")
 
 
 def transcribe2midi(data, model, variables, model_type, onset_threshold=0.5,
-                    frame_threshold=0.5, save_path=None, rule="rule2"):
+                    frame_threshold=0.5, save_path=None, rule="rule2",
+                    bucket_frames=0):
     """Reference `transcribe2midi` (`transcribe_files.py:12-40`)."""
+    import inspect
+
     import jax.numpy as jnp
 
     os.makedirs(save_path, exist_ok=True)
     written = []
+    supports_bucket = "bucket_frames" in inspect.signature(
+        model.transcribe).parameters
     for item in data:
         audio = jnp.asarray(item["audio"])[None, :]
-        pred = model.transcribe(variables, audio)
+        if bucket_frames and supports_bucket:
+            pred = model.transcribe(variables, audio,
+                                    bucket_frames=bucket_frames)
+        else:
+            pred = model.transcribe(variables, audio)
         onsets = np.maximum(np.asarray(pred["onset"])[0], 0)
         frames = np.maximum(np.asarray(pred["frame"])[0], 0)
 
@@ -56,10 +65,13 @@ def config():
     device = "tpu"
     model_type = "ReconVAT"
     weight_path = None  # torch .pt or orbax checkpoint dir; None = default
+    # pad songs to this frame multiple so arbitrary lengths share a few
+    # compiled shapes (0 = exact per-song shapes, reference-identical)
+    bucket_frames = 512
 
 
 @ex.automain
-def main(device, model_type, weight_path):
+def main(device, model_type, weight_path, bucket_frames):
     if device == "cpu":
         import jax
 
@@ -105,4 +117,4 @@ def main(device, model_type, weight_path):
 
     print("Transcribing Music")
     transcribe2midi(application_dataset, model, variables, model_type,
-                    save_path=output_path)
+                    save_path=output_path, bucket_frames=bucket_frames)
