@@ -56,12 +56,23 @@ def main():
 
     import jax.numpy as jnp
 
+    # device-side thresholding + bit-packing: the host decoder only needs
+    # booleans, and the device->host link is the bottleneck on this setup
+    # (~120 MB/s relay). fp32 roll = 14.4 MB/batch; packed bits = 0.45 MB.
+    pow2 = jnp.asarray(2 ** np.arange(8), jnp.uint8)
+
     @jax.jit
     def forward(variables, audio):
         preds = model.transcribe(variables, audio)
-        # threshold on device: the host decoder only needs booleans, and a
-        # uint8 roll is 4x less PCIe/relay traffic than fp32
-        return (preds["frame"] > 0.5).astype(jnp.uint8)
+        bits = (preds["frame"] > 0.5).astype(jnp.uint8)   # (B, T, 88)
+        bits = jnp.pad(bits, ((0, 0), (0, 0), (0, 96 - 88)))
+        packed = jnp.einsum("btkj,j->btk",
+                            bits.reshape(*bits.shape[:2], 12, 8), pow2)
+        return packed.astype(jnp.uint8)
+
+    def unpack(packed):
+        bits = np.unpackbits(packed, axis=-1, bitorder="little")
+        return bits.reshape(*packed.shape[:2], 96)[..., :88]
 
     rng = np.random.RandomState(0)
     audio = (rng.randn(batch, samples) * 0.1).astype(np.float32)
@@ -78,12 +89,12 @@ def main():
     pending = forward(variables, audio_dev)
     for _ in range(iters - 1):
         nxt = forward(variables, audio_dev)
-        roll_host = np.asarray(pending)
+        roll_host = unpack(np.asarray(pending))
         for b in range(batch):
             decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
                                              rule="rule2")
         pending = nxt
-    roll_host = np.asarray(pending)
+    roll_host = unpack(np.asarray(pending))
     for b in range(batch):
         decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
                                          rule="rule2")

@@ -115,11 +115,25 @@ def run_training(model, cfg, datasets=None):
     saving_freq = cfg.get("saving_freq", 200)
     vat_start = cfg.get("VAT_start", 0)
 
+    from .profiler import StepTimer
+
+    timer = StepTimer(audio_seconds_per_step=(
+        cfg.get("train_batch_size", cfg["batch_size"])
+        * cfg["sequence_length"] / 16000))
+
     for ep in range(1, epoches + 1):
         key, sub = jax.random.split(key)
         state, losses = train_VAT_model(
             model, state, train_steps, iteration, ep, l_iter, ul_iter, sub,
-            vat=vat, vat_start=vat_start)
+            vat=vat, vat_start=vat_start, timer=timer)
+        if cfg.get("profile_epoch") == ep:
+            from . import profiler as _prof
+
+            with _prof.trace(os.path.join(logdir, "profile")):
+                key, sub = jax.random.split(key)
+                state, _ = train_VAT_model(
+                    model, state, train_steps, 1, ep, l_iter, ul_iter, sub,
+                    vat=vat, vat_start=vat_start, verbose=False)
 
         if logger is None:
             logger = TensorboardLogger(logdir)

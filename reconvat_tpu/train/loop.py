@@ -14,14 +14,16 @@ import numpy as np
 
 from ..data.loader import cycle, device_batch
 from ..evaluate import evaluate_wo_velocity
+from . import profiler
 from .state import total_loss_from_dict
 
 
 def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
-                    key, vat=False, vat_start=0, verbose=True):
+                    key, vat=False, vat_start=0, verbose=True, timer=None):
     """One "epoch" = `iteration` optimizer steps. Returns (state, losses)."""
     total_loss = 0.0
     losses = {}
+    check_nans = profiler.nan_checks_enabled()
     for i in range(iteration):
         key, sub = jax.random.split(key)
         batch_l = device_batch(next(l_iter))
@@ -31,6 +33,10 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
             else batch_l  # placeholder with matching shapes; unused
         state, losses = train_step[bool(use_vat)](state, batch_l, batch_ul,
                                                   sub)
+        if timer is not None:
+            timer.tick()
+        if check_nans:
+            profiler.nan_guard(losses, "loss")
         total_loss += float(total_loss_from_dict(losses, 1.0))
         if verbose:
             main = sum(float(v) for v in losses.values())
@@ -38,7 +44,10 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
                   f"Main Loss: {main:.6f}", end="\r")
     if verbose:
         print(" " * 100, end="\r")
-        print(f"Train Epoch: {ep}\tLoss: {total_loss / iteration:.6f}")
+        msg = f"Train Epoch: {ep}\tLoss: {total_loss / iteration:.6f}"
+        if timer is not None and timer.step_time:
+            msg += f"\t({timer.summary()})"
+        print(msg)
     return state, losses
 
 
