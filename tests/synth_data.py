@@ -33,6 +33,10 @@ def render_audio(rows, duration_s=8.0, sr=C.SAMPLE_RATE):
             if f0 * h < sr / 2:
                 x[idx] += amp * env * np.sin(2 * np.pi * f0 * h * tt)
     x = x / max(np.abs(x).max(), 1e-9) * 0.7
+    # small noise floor: real recordings never contain exact digital
+    # silence, and the reference's imagewise min-max normalization
+    # (model/utils.py:93-100) divides by zero on a fully-constant crop
+    x = x + np.random.RandomState(len(rows)).randn(len(t)) * 1e-3
     return (x * 32767).astype(np.int16)
 
 
