@@ -27,7 +27,7 @@ def main():
     from reconvat_tpu import decode
     from reconvat_tpu.models.reconvat import ReconVAT
 
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
     frames = 640
     samples = frames * C.HOP_LENGTH  # 327680 => 20.48 s per item
     audio_seconds_per_batch = batch * samples / C.SAMPLE_RATE

@@ -34,7 +34,7 @@ from ..nn.unet import torch_conv_init
 from ..ops.normalize import Normalization
 from ..ops.spectrogram import make_frontend
 from ..vat import VATConfig, vat_loss
-from .losses import binary_cross_entropy, mse_loss
+from .losses import binary_cross_entropy
 from .reconvat import Roll2Spec
 from .segmentation import MultiHeadAttention2D
 

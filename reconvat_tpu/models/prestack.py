@@ -12,10 +12,8 @@ graph, reimplemented in flax — no torch.hub at build time).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .. import constants as C

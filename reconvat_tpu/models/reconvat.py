@@ -13,7 +13,6 @@ Architecture (all activations NHWC, time = H axis):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import flax.linen as nn
 import jax

@@ -470,8 +470,6 @@ class SemanticSegmentation:
         if residual:
             raise ValueError(f"unconverted model weights: {residual}")
         # rel_t / rel_f pass through verbatim (same shapes)
-        import jax as _jax
-
         params = converted["params"]
         for name, w in sd.items():
             if name.endswith((".rel_t", ".rel_f")):

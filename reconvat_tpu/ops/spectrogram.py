@@ -11,8 +11,6 @@ consumes — instead of the reference's `(batch, bins, frames)` + transpose.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,7 @@ from collections import defaultdict
 import jax
 import numpy as np
 
-from ..data.loader import cycle, device_batch
+from ..data.loader import device_batch
 from ..evaluate import evaluate_wo_velocity
 from . import profiler
 from .state import total_loss_from_dict

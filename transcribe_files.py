@@ -102,7 +102,6 @@ def main(device, model_type, weight_path, bucket_frames):
         if wpath.endswith(".pt"):
             variables = model.load_reference_weights(wpath, variables)
         else:
-            from reconvat_tpu.train import checkpoint as ckpt
             import orbax.checkpoint as ocp
 
             restored = ocp.StandardCheckpointer().restore(
