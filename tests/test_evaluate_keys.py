@@ -1,0 +1,80 @@
+"""evaluate_wo_velocity must emit exactly the reference's metric keys."""
+import numpy as np
+
+import jax
+
+from reconvat_tpu.evaluate import evaluate_wo_velocity
+from reconvat_tpu.models.reconvat import ReconVAT
+
+
+def _songs(n=2, frames=40):
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        yield {
+            "path": f"song{i}.flac",
+            "audio": (rng.randn(frames * 512) * 0.1).astype(np.float32),
+            "frame": (rng.rand(frames, 88) > 0.9).astype(np.float32),
+            "onset": (rng.rand(frames, 88) > 0.97).astype(np.float32),
+        }
+
+
+def test_metric_keys_match_reference(tmp_path):
+    model = ReconVAT(reconstruction=True)
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=40)
+
+    def runner(item):
+        batch = {k: (np.asarray(v)[None] if k != "path" else v)
+                 for k, v in item.items()}
+        p, l, s, _ = model.run_on_batch(variables, batch, None,
+                                        jax.random.PRNGKey(0), vat=False,
+                                        train=False)
+        return p, l, s
+
+    results = evaluate_wo_velocity(list(_songs()), runner,
+                                   reconstruction=True,
+                                   save_path=str(tmp_path))
+
+    # metric keys from the reference's evaluate_wo_velocity
+    # (`model/evaluate_functions.py:68-117`) with reconstruction=True
+    expect_metrics = {
+        "metric/note/precision", "metric/note/recall", "metric/note/f1",
+        "metric/note/overlap",
+        "metric/note-with-offsets/precision",
+        "metric/note-with-offsets/recall", "metric/note-with-offsets/f1",
+        "metric/note-with-offsets/overlap",
+        "metric/frame/f1", "metric/MusicNet/micro_avg_P",
+        "metric/note/precision_2", "metric/note/recall_2",
+        "metric/note/f1_2", "metric/note/overlap_2",
+        "metric/frame/f1_2", "metric/MusicNet/micro_avg_P2",
+        "metric/note-with-offsets/precision_2",
+        "metric/note-with-offsets/recall_2",
+        "metric/note-with-offsets/f1_2",
+        "metric/note-with-offsets/overlap_2",
+        # frame_metrics dict keys, lowercased with spaces -> underscores
+        "metric/frame/precision", "metric/frame/recall",
+        "metric/frame/accuracy", "metric/frame/substitution_error",
+        "metric/frame/miss_error", "metric/frame/false_alarm_error",
+        "metric/frame/total_error", "metric/frame/chroma_precision",
+        "metric/frame/chroma_recall", "metric/frame/chroma_accuracy",
+        "metric/frame/chroma_substitution_error",
+        "metric/frame/chroma_miss_error",
+        "metric/frame/chroma_false_alarm_error",
+        "metric/frame/chroma_total_error",
+        # second-view entries the reference injects into frame_metrics
+        "metric/frame/precision_2", "metric/frame/recall_2",
+        "metric/frame/accuracy_2",
+    }
+    got_metrics = {k for k in results if k.startswith("metric/")}
+    assert got_metrics == expect_metrics, (
+        got_metrics - expect_metrics, expect_metrics - got_metrics)
+    # loss keys come from run_on_batch (test_ prefixed)
+    assert any(k.startswith("loss/test") for k in results)
+    # every metric has one entry per song
+    for k in expect_metrics:
+        assert len(results[k]) == 2, k
+    # artifacts written
+    import os
+
+    files = os.listdir(tmp_path)
+    assert any(f.endswith(".pred.mid") for f in files)
+    assert any(f.endswith(".label.png") for f in files)
