@@ -92,12 +92,17 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
     cols = np.arange(ctx)[None, :]
     offs = cols - rows                       # window offset j = col - row
     band = (offs >= 0) & (offs < W)
+    # one-hot band selector (W, bs, ctx): spreads per-offset values onto
+    # the (row, row + j) diagonal band as a matmul — no take_along_axis
+    # gather, whose scatter-add transpose forces SPMD rematerialization
+    # under sequence sharding.
+    band_onehot = jnp.asarray(
+        (offs[None] == np.arange(W)[:, None, None]).astype(np.float32))
 
     if rel is not None:
         qrel = jnp.einsum("bnqhd,hdw->bnhqw", qb, rel, precision=precision)
-        idx = jnp.asarray(np.clip(offs, 0, W - 1))
-        bias = jnp.take_along_axis(
-            qrel, idx[None, None, None, :, :], axis=-1)
+        bias = jnp.einsum("bnhqw,wqk->bnhqk", qrel, band_onehot,
+                          precision=precision)
         scores = scores + bias
 
     scores = jnp.where(jnp.asarray(band)[None, None, None], scores,
@@ -110,10 +115,9 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
     attn = None
     if return_probs:
         # extract the (row, row+j) band back into (B, L, H, W)
-        gather_idx = jnp.asarray(rows + np.arange(W)[None, :])  # (bs, W)
-        attn = jnp.take_along_axis(probs, gather_idx[None, None, None],
-                                   axis=-1)
-        attn = attn.transpose(0, 1, 3, 2, 4).reshape(B, Lp, H, W)[:, :L]
+        attn = jnp.einsum("bnhqk,wqk->bnqhw", probs, band_onehot,
+                          precision=precision)
+        attn = attn.reshape(B, Lp, H, W)[:, :L]
     return out, attn
 
 
