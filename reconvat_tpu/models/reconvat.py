@@ -35,14 +35,15 @@ class Spec2Roll(nn.Module):
     complexity: int = 4
     attn_block_size: int = 128
     attn_impl: str = "xla"
+    dtype: str | None = None   # e.g. 'bfloat16' mixed precision
 
     def setup(self):
-        self.Unet1_encoder = Encoder()
-        self.Unet1_decoder = Decoder(num_instruments=1)
+        self.Unet1_encoder = Encoder(dtype=self.dtype)
+        self.Unet1_decoder = Decoder(num_instruments=1, dtype=self.dtype)
         self.lstm1 = MultiHeadAttention1D(
             out_features=self.n_bins * self.complexity, kernel_size=31,
             groups=self.complexity, block_size=self.attn_block_size,
-            impl=self.attn_impl)
+            impl=self.attn_impl, dtype=self.dtype)
         self.linear1 = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
 
     def __call__(self, x, train: bool = False):
@@ -59,14 +60,15 @@ class Roll2Spec(nn.Module):
     complexity: int = 4
     attn_block_size: int = 128
     attn_impl: str = "xla"
+    dtype: str | None = None
 
     def setup(self):
-        self.Unet2_encoder = Encoder()
-        self.Unet2_decoder = Decoder(num_instruments=1)
+        self.Unet2_encoder = Encoder(dtype=self.dtype)
+        self.Unet2_decoder = Decoder(num_instruments=1, dtype=self.dtype)
         self.lstm2 = MultiHeadAttention1D(
             out_features=self.n_bins * self.complexity, kernel_size=31,
             groups=4, block_size=self.attn_block_size,
-            impl=self.attn_impl)
+            impl=self.attn_impl, dtype=self.dtype)
         self.linear2 = nn.Dense(self.n_bins, kernel_init=torch_conv_init)
 
     def __call__(self, x, train: bool = False):
@@ -83,15 +85,17 @@ class UNet(nn.Module):
     reconstruction: bool = True
     attn_block_size: int = 128
     attn_impl: str = "xla"
+    dtype: str | None = None
 
     def setup(self):
         self.transcriber = Spec2Roll(self.n_bins,
                                      attn_block_size=self.attn_block_size,
-                                     attn_impl=self.attn_impl)
+                                     attn_impl=self.attn_impl,
+                                     dtype=self.dtype)
         if self.reconstruction:
             self.reconstructor = Roll2Spec(
                 self.n_bins, attn_block_size=self.attn_block_size,
-                attn_impl=self.attn_impl)
+                attn_impl=self.attn_impl, dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
         pianoroll, a = self.transcriber(x, train)
@@ -124,6 +128,8 @@ class ReconVAT:
     kl_div: bool = False
     attn_block_size: int = 128
     attn_impl: str = "xla"     # 'pallas' fuses the banded attention kernel
+    compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
+                                      # (params/BN/heads/losses stay fp32)
     n_heads: int = 4  # for attention visualization metadata
 
     def __post_init__(self):
@@ -131,7 +137,8 @@ class ReconVAT:
         self.module = UNet(n_bins=self.n_bins,
                            reconstruction=self.reconstruction,
                            attn_block_size=self.attn_block_size,
-                           attn_impl=self.attn_impl)
+                           attn_impl=self.attn_impl,
+                           dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         # spec image is (B, T, F, 1): the per-vector L2 norm of the VAT
         # perturbation runs over the bins axis like the reference's

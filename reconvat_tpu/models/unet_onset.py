@@ -34,11 +34,13 @@ class Stack(nn.Module):
     output_dim: int = N_KEYS
     dropout: float = 0.5
     attn_block_size: int = 128
+    dtype: str | None = None
 
     def setup(self):
         self.attention = MultiHeadAttention1D(
             out_features=self.hidden_dim, kernel_size=self.attn_size,
-            groups=self.attn_group, block_size=self.attn_block_size)
+            groups=self.attn_group, block_size=self.attn_block_size,
+            dtype=self.dtype)
         self.linear = nn.Dense(self.output_dim, kernel_init=torch_conv_init)
         self.dropout_layer = nn.Dropout(self.dropout)
 
@@ -54,16 +56,18 @@ class OnsetSpec2Roll(nn.Module):
     """Reference onset-variant `Spec2Roll` (`model/UNet_onset.py:284-315`)."""
     n_bins: int = C.N_BINS
     attn_block_size: int = 128
+    dtype: str | None = None
 
     def setup(self):
-        self.Unet1_encoder = Encoder()
-        self.Unet1_decoder = Decoder(num_instruments=2)
+        self.Unet1_encoder = Encoder(dtype=self.dtype)
+        self.Unet1_decoder = Decoder(num_instruments=2, dtype=self.dtype)
         self.linear_onset = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
         self.linear_feature = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
         self.combine_stack = Stack(hidden_dim=768, attn_size=31,
                                    attn_group=6, output_dim=N_KEYS,
                                    dropout=0.0,
-                                   attn_block_size=self.attn_block_size)
+                                   attn_block_size=self.attn_block_size,
+                                   dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
         z, s, c = self.Unet1_encoder(x, train)
@@ -81,13 +85,16 @@ class UNetOnsetModule(nn.Module):
     n_bins: int = C.N_BINS
     reconstruction: bool = True
     attn_block_size: int = 128
+    dtype: str | None = None
 
     def setup(self):
         self.transcriber = OnsetSpec2Roll(
-            self.n_bins, attn_block_size=self.attn_block_size)
+            self.n_bins, attn_block_size=self.attn_block_size,
+            dtype=self.dtype)
         if self.reconstruction:
             self.reconstructor = Roll2Spec(
-                self.n_bins, attn_block_size=self.attn_block_size)
+                self.n_bins, attn_block_size=self.attn_block_size,
+                dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
         pianoroll, onset, a = self.transcriber(x, train)
@@ -115,13 +122,15 @@ class UNetOnset:
     eps: float = 2.0
     kl_div: bool = False
     attn_block_size: int = 128
+    compute_dtype: str | None = None
     n_heads: int = 4
 
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(self.spec)
         self.module = UNetOnsetModule(n_bins=self.n_bins,
                                       reconstruction=self.reconstruction,
-                                      attn_block_size=self.attn_block_size)
+                                      attn_block_size=self.attn_block_size,
+                                      dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
                                  kl_div=self.kl_div, norm_axis=2)

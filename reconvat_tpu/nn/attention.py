@@ -57,7 +57,7 @@ banded_attention_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
                      return_probs: bool = True,
-                     precision=jax.lax.Precision.HIGHEST):
+                     precision=None):
     """Banded local attention core.
 
     q:    (B, L, H, Dh)
@@ -68,6 +68,12 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
     Returns (out (B, L, H, Dh), probs (B, L, H, window) or None).
     """
     B, L, H, Dh = q.shape
+    if precision is None:
+        # fp32 inputs keep exact-parity matmuls; low-precision inputs
+        # (mixed-precision mode) use the fast MXU path
+        precision = (jax.lax.Precision.HIGHEST
+                     if q.dtype == jnp.float32 else
+                     jax.lax.Precision.DEFAULT)
     W = window
     hw = (W - 1) // 2
     bs = min(block_size, max(8, L))
@@ -107,7 +113,8 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
 
     scores = jnp.where(jnp.asarray(band)[None, None, None], scores,
                        -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = probs.astype(vctx.dtype)
 
     out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, vctx, precision=precision)
     out = out.reshape(B, Lp, H, Dh)[:, :L]
@@ -136,17 +143,18 @@ class MultiHeadAttention1D(nn.Module):
     return_probs: bool = True
     impl: str = "xla"          # 'xla' | 'pallas' (fused kernel, probs=None)
     pallas_block: int = 256
+    dtype: str | None = None   # computation dtype; params stay fp32
 
     def setup(self):
         assert self.out_features % self.groups == 0
         assert (self.kernel_size - 1) % 2 == 0, "kernel size must be odd"
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         self.W_k = nn.Dense(self.out_features, use_bias=self.use_bias,
-                            kernel_init=kaiming)
+                            kernel_init=kaiming, dtype=self.dtype)
         self.W_q = nn.Dense(self.out_features, use_bias=self.use_bias,
-                            kernel_init=kaiming)
+                            kernel_init=kaiming, dtype=self.dtype)
         self.W_v = nn.Dense(self.out_features, use_bias=self.use_bias,
-                            kernel_init=kaiming)
+                            kernel_init=kaiming, dtype=self.dtype)
         if self.position:
             self.rel = self.param(
                 "rel", nn.initializers.normal(1.0),

@@ -40,6 +40,7 @@ class TorchConvTranspose(nn.Module):
     strides: Sequence[int] = (1, 1)
     padding: Sequence[int] = (0, 0)
     use_bias: bool = True
+    dtype: str | None = None   # computation dtype; params stay fp32
 
     @nn.compact
     def __call__(self, x, output_size=None):
@@ -70,6 +71,9 @@ class TorchConvTranspose(nn.Module):
         # transpose conv == dilated-input correlation with flipped kernel
         flipped = kernel[::-1, ::-1]  # (kh, kw, out, in)
         rhs = jnp.transpose(flipped, (0, 1, 3, 2))  # HWIO
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            rhs = rhs.astype(self.dtype)
         out = jax.lax.conv_general_dilated(
             x, rhs, window_strides=(1, 1),
             padding=[(kh - 1 - ph, kh - 1 - ph + oph),
@@ -94,20 +98,21 @@ class EncBlock(nn.Module):
     pad: Sequence[int] = (1, 1)
     ds_ksize: Sequence[int] = (2, 2)
     ds_stride: Sequence[int] = (2, 2)
+    dtype: str | None = None
 
     def setup(self):
         p = [_pair(self.pad)] * 2
         self.conv1 = nn.Conv(self.out, _pair(self.ksize), padding=p,
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn1 = _bn()
         self.conv2 = nn.Conv(self.out, _pair(self.ksize), padding=p,
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn2 = _bn()
         self.skip = nn.Conv(self.out, (1, 1), padding="VALID",
-                            kernel_init=torch_conv_init)
+                            kernel_init=torch_conv_init, dtype=self.dtype)
         self.ds = nn.Conv(self.out, _pair(self.ds_ksize),
                           strides=_pair(self.ds_stride), padding="VALID",
-                          kernel_init=torch_conv_init)
+                          kernel_init=torch_conv_init, dtype=self.dtype)
 
     def __call__(self, x, train: bool):
         x11 = nn.leaky_relu(self.bn1(self.conv1(x),
@@ -128,20 +133,22 @@ class DBlock(nn.Module):
     pad: Sequence[int] = (1, 1)
     ds_ksize: Sequence[int] = (2, 2)
     ds_stride: Sequence[int] = (2, 2)
+    dtype: str | None = None
 
     def setup(self):
         mid = self.inp // 2
-        self.conv2d = TorchConvTranspose(mid, self.ksize, (1, 1), self.pad)
+        self.conv2d = TorchConvTranspose(mid, self.ksize, (1, 1), self.pad,
+                                         dtype=self.dtype)
         self.bn2d = _bn()
         self.conv1d = TorchConvTranspose(self.out, self.ksize, (1, 1),
-                                         self.pad)
+                                         self.pad, dtype=self.dtype)
         if not self.is_last:
             self.bn1d = _bn()
             us_ch = self.inp - self.out
         else:
             us_ch = self.inp
         self.us = TorchConvTranspose(us_ch, self.ds_ksize, self.ds_stride,
-                                     (0, 0))
+                                     (0, 0), dtype=self.dtype)
 
     def __call__(self, x, size, skip, train: bool):
         x = self.us(x, output_size=size)
@@ -161,22 +168,21 @@ class Encoder(nn.Module):
     """Reference `Encoder` (`model/self_attention_VAT.py:884-906`)."""
     ds_ksize: Sequence[int] = (2, 2)
     ds_stride: Sequence[int] = (2, 2)
+    dtype: str | None = None
 
     def setup(self):
-        self.block1 = EncBlock(16, ds_ksize=self.ds_ksize,
-                               ds_stride=self.ds_stride)
-        self.block2 = EncBlock(32, ds_ksize=self.ds_ksize,
-                               ds_stride=self.ds_stride)
-        self.block3 = EncBlock(64, ds_ksize=self.ds_ksize,
-                               ds_stride=self.ds_stride)
-        self.block4 = EncBlock(128, ds_ksize=self.ds_ksize,
-                               ds_stride=self.ds_stride)
+        kw = dict(ds_ksize=self.ds_ksize, ds_stride=self.ds_stride,
+                  dtype=self.dtype)
+        self.block1 = EncBlock(16, **kw)
+        self.block2 = EncBlock(32, **kw)
+        self.block3 = EncBlock(64, **kw)
+        self.block4 = EncBlock(128, **kw)
         self.conv1 = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)],
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.conv2 = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)],
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.conv3 = nn.Conv(16, (3, 3), padding=[(1, 1), (1, 1)],
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
 
     def __call__(self, x, train: bool):
         x1, s1 = self.block1(x, train)
@@ -195,9 +201,11 @@ class Decoder(nn.Module):
     num_instruments: int = 1
     ds_ksize: Sequence[int] = (2, 2)
     ds_stride: Sequence[int] = (2, 2)
+    dtype: str | None = None
 
     def setup(self):
-        kw = dict(ds_ksize=self.ds_ksize, ds_stride=self.ds_stride)
+        kw = dict(ds_ksize=self.ds_ksize, ds_stride=self.ds_stride,
+                  dtype=self.dtype)
         self.d_block1 = DBlock(192, 64, False, **kw)
         self.d_block2 = DBlock(96, 32, False, **kw)
         self.d_block3 = DBlock(48, 16, False, **kw)
