@@ -33,7 +33,11 @@ def main():
     audio_seconds_per_batch = batch * samples / C.SAMPLE_RATE
 
     attn_impl = os.environ.get("BENCH_ATTN", "pallas")
-    model = ReconVAT(reconstruction=True, attn_impl=attn_impl)
+    # bf16 compute is 1.19x the fp32 forward at 6e-6 posteriogram diff
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = ReconVAT(reconstruction=True, attn_impl=attn_impl,
+                     compute_dtype=None if dtype in ("", "float32")
+                     else dtype)
     variables = model.init(jax.random.PRNGKey(0), seq_frames=frames)
     # Random init makes every sigmoid hover around 0.5, i.e. a posteriogram
     # that is ~50% "active" — two orders of magnitude denser than any

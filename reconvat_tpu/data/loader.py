@@ -88,3 +88,25 @@ class DataLoader:
 def cycle(loader):
     while True:
         yield from loader
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Yield batches already resident on the default device, keeping `size`
+    transfers in flight ahead of the consumer (double buffering: the H2D
+    copy of batch i+1 overlaps the step on batch i)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def _put(batch):
+        return {k: (jax.device_put(v) if k in BATCH_KEYS else v)
+                for k, v in batch.items()}
+
+    for batch in iterator:
+        queue.append(_put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

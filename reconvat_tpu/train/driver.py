@@ -13,7 +13,7 @@ import pickle
 import jax
 import numpy as np
 
-from ..data.loader import DataLoader, cycle
+from ..data.loader import DataLoader, cycle, prefetch_to_device
 from ..evaluate import evaluate_wo_velocity, print_metrics
 from ..utils import summary
 from . import checkpoint as ckpt
@@ -106,8 +106,11 @@ def run_training(model, cfg, datasets=None):
     eval_step = make_eval_step(model)
 
     logger = None
-    l_iter = cycle(supervised_loader)
-    ul_iter = cycle(ul_loader) if ul_loader is not None else None
+    # background batch assembly (DataLoader prefetch thread) + H2D double
+    # buffering so host work overlaps device steps
+    l_iter = prefetch_to_device(cycle(supervised_loader))
+    ul_iter = (prefetch_to_device(cycle(ul_loader))
+               if ul_loader is not None else None)
 
     epoches = cfg.get("epoches", 20000)
     iteration = cfg.get("iteration", 10)
