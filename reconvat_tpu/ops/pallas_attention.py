@@ -72,8 +72,9 @@ def _attention_kernel(q_ref, k_hbm, v_hbm, rel_ref, o_ref,
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
 
     copy_v.wait()
+    v = v_vmem[:]
     o_ref[0] = jax.lax.dot_general(
-        probs, v_vmem[:], (((1,), (0,)), ((), ())),
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
@@ -93,19 +94,22 @@ def pallas_banded_forward(q, kpad, vpad, rel, window: int,
     ctx_pad = _round_up(ctx, 128)
     ktail = Lp + 2 * hw + (ctx_pad - ctx)   # last block slice stays in range
 
+    dtype = q.dtype  # bf16 in mixed-precision mode; accumulation stays f32
+
     def fold(x, length):
         x = jnp.pad(x, ((0, 0), (0, length - x.shape[1]), (0, 0),
                         (0, Dp - Dh)))
-        return x.transpose(0, 2, 1, 3).reshape(B * H, length, Dp)
+        return (x.transpose(0, 2, 1, 3).reshape(B * H, length, Dp)
+                .astype(dtype))
 
     qf = fold(q, Lp)
     kf = fold(kpad, ktail)
     vf = fold(vpad, ktail)
 
     if rel is None:
-        relf = jnp.zeros((H, Dp, Wp), jnp.float32)
+        relf = jnp.zeros((H, Dp, Wp), dtype)
     else:
-        relf = jnp.pad(rel.astype(jnp.float32),
+        relf = jnp.pad(rel.astype(dtype),
                        ((0, 0), (0, Dp - Dh), (0, Wp - window)))
 
     kernel = functools.partial(_attention_kernel, block=block,
@@ -126,8 +130,8 @@ def pallas_banded_forward(q, kpad, vpad, rel, window: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, Lp, Dp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ctx_pad, Dp), jnp.float32),
-            pltpu.VMEM((ctx_pad, Dp), jnp.float32),
+            pltpu.VMEM((ctx_pad, Dp), dtype),
+            pltpu.VMEM((ctx_pad, Dp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_use_interpret(),
