@@ -165,3 +165,19 @@ def test_transcribe_full_song_shape():
                         .randn(1, 512 * 101 + 37).astype(np.float32) * 0.1)
     preds = model.transcribe(variables, audio)
     assert preds["frame"].shape == (1, 101 + 1, 88)
+
+
+def test_bucketed_transcribe_matches_exact():
+    """Bucket padding must only perturb the end-halo frames."""
+    model = ReconVAT(reconstruction=True)
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=64)
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray((rng.randn(1, 512 * 77 + 13) * 0.1)
+                        .astype(np.float32))
+    exact = model.transcribe(variables, audio)["frame"]
+    bucketed = model.transcribe(variables, audio,
+                                bucket_frames=64)["frame"]
+    assert bucketed.shape == exact.shape
+    t = exact.shape[1]
+    body = float(jnp.abs(bucketed[:, :t - 16] - exact[:, :t - 16]).max())
+    assert body < 5e-3, body
