@@ -32,7 +32,8 @@ def _round_up(x, m):
 
 def _attention_kernel(q_ref, k_hbm, v_hbm, rel_ref, o_ref,
                       k_vmem, v_vmem, sems, *,
-                      block: int, window: int, ctx_pad: int):
+                      block: int, window: int, ctx_pad: int,
+                      precision):
     g = pl.program_id(0)
     i = pl.program_id(1)
     start = pl.multiple_of(i * block, block)
@@ -49,13 +50,13 @@ def _attention_kernel(q_ref, k_hbm, v_hbm, rel_ref, o_ref,
     qrel = jax.lax.dot_general(
         q, rel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)             # (block, Wp)
+        precision=precision)                             # (block, Wp)
 
     copy_k.wait()
     scores = jax.lax.dot_general(
         q, k_vmem[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)             # (block, ctx_pad)
+        precision=precision)                             # (block, ctx_pad)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (block, ctx_pad), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (block, ctx_pad), 1)
@@ -76,7 +77,7 @@ def _attention_kernel(q_ref, k_hbm, v_hbm, rel_ref, o_ref,
     o_ref[0] = jax.lax.dot_general(
         probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
 
 
 def pallas_banded_forward(q, kpad, vpad, rel, window: int,
@@ -112,8 +113,13 @@ def pallas_banded_forward(q, kpad, vpad, rel, window: int,
         relf = jnp.pad(rel.astype(dtype),
                        ((0, 0), (0, Dp - Dh), (0, Wp - window)))
 
+    # fp32 inputs keep exact-parity 3-pass matmuls; bf16 operands use the
+    # native MXU path (Mosaic rejects HIGHEST for low-precision lhs)
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_attention_kernel, block=block,
-                               window=window, ctx_pad=ctx_pad)
+                               window=window, ctx_pad=ctx_pad,
+                               precision=precision)
 
     out = pl.pallas_call(
         kernel,
