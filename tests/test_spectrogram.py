@@ -125,3 +125,16 @@ def test_normalization_matches_reference():
         else:
             got = np.asarray(norm_ops.Normalization(mode)(jnp.asarray(x)))
         np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_cqt_matmul_path_equals_conv_path():
+    """The chunked-matmul CQT (hop | kernel_width) must equal the direct
+    conv evaluation."""
+    cqt = spec_ops.CQT1992v2(sr=C.SAMPLE_RATE, hop_length=C.HOP_LENGTH,
+                             n_bins=176, fmin=27.5, bins_per_octave=24)
+    assert cqt.kr_chunks is not None
+    x = jnp.asarray(_audio(batch=1, n=65536))
+    fast = np.asarray(cqt(x))
+    cqt.kr_chunks = None  # force the conv fallback
+    slow = np.asarray(cqt(x))
+    np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-4)
