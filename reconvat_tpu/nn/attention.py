@@ -42,6 +42,17 @@ def _pallas_fwd(q, kpad, vpad, rel, window, block):
 def _pallas_bwd(window, block, residuals, g):
     q, kpad, vpad, rel = residuals
 
+    import os
+
+    if os.environ.get("RECONVAT_PALLAS_BWD"):
+        from ..ops.pallas_attention_bwd import pallas_banded_backward
+
+        dq, dk, dv, drel = pallas_banded_backward(q, kpad, vpad, rel, g,
+                                                  window, block)
+        if drel is None:
+            drel = jnp.zeros_like(rel)
+        return dq, dk, dv, drel
+
     def ref_fn(q_, k_, v_, r_):
         out, _ = banded_attention(q_, k_, v_, r_, window,
                                   block_size=min(block, 128),

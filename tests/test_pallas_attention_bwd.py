@@ -1,0 +1,62 @@
+"""Pallas banded-attention backward kernel vs the XLA VJP."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reconvat_tpu.nn.attention import banded_attention
+from reconvat_tpu.ops.pallas_attention_bwd import pallas_banded_backward
+
+
+def _setup(B=2, L=100, H=4, Dh=57, W=31, seed=0):
+    rng = np.random.RandomState(seed)
+    hw = (W - 1) // 2
+    q = jnp.asarray(rng.randn(B, L, H, Dh).astype(np.float32))
+    kpad = jnp.asarray(np.pad(rng.randn(B, L, H, Dh).astype(np.float32),
+                              ((0, 0), (hw, hw), (0, 0), (0, 0))))
+    vpad = jnp.asarray(np.pad(rng.randn(B, L, H, Dh).astype(np.float32),
+                              ((0, 0), (hw, hw), (0, 0), (0, 0))))
+    rel = jnp.asarray((rng.randn(H, Dh, W) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, L, H, Dh).astype(np.float32))
+    return q, kpad, vpad, rel, g
+
+
+@pytest.mark.parametrize("L,W,block", [(100, 31, 64), (64, 7, 64),
+                                       (130, 31, 128)])
+def test_pallas_backward_matches_xla_vjp(L, W, block):
+    q, kpad, vpad, rel, g = _setup(L=L, W=W)
+
+    def ref_fn(q_, k_, v_, r_):
+        out, _ = banded_attention(q_, k_, v_, r_, W, 64,
+                                  return_probs=False)
+        return out
+
+    _, vjp = jax.vjp(ref_fn, q, kpad, vpad, rel)
+    expect = vjp(g)
+    got = pallas_banded_backward(q, kpad, vpad, rel, g, W, block)
+    for name, a, b in zip(("dq", "dk", "dv", "drel"), got, expect):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=1e-4, atol=3e-6, err_msg=name)
+
+
+def test_flag_gated_custom_vjp(monkeypatch):
+    from reconvat_tpu.nn.attention import banded_attention_pallas
+
+    monkeypatch.setenv("RECONVAT_PALLAS_BWD", "1")
+    q, kpad, vpad, rel, g = _setup(L=64, W=7)
+
+    def loss_pallas(q, k, v, r):
+        return jnp.sum(banded_attention_pallas(q, k, v, r, 7, 64) * g)
+
+    def loss_xla(q, k, v, r):
+        out, _ = banded_attention(q, k, v, r, 7, 64, return_probs=False)
+        return jnp.sum(out * g)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, kpad, vpad, rel)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, kpad, vpad, rel)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
