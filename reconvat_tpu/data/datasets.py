@@ -226,13 +226,17 @@ class MusicNet(PianoRollAudioDataset):
     def _flac_tsv(self, id_list, mode):
         flacs, tsvs = [], []
         for i in id_list:
-            flacs.extend(glob(os.path.join(self.path, f"{mode}_data",
-                                           f"{i}.flac")))
-            flacs.extend(glob(os.path.join(self.path, f"{mode}_data",
-                                           f"{i}.wav")))
-            base = glob(os.path.join(self.path, f"tsv_{mode}_labels",
-                                     f"{i}.tsv"))
-            tsvs.extend(base)
+            hits = glob(os.path.join(self.path, f"{mode}_data",
+                                     f"{i}.flac"))
+            if not hits:
+                # wav fallback ONLY when no flac exists for the id —
+                # globbing both unconditionally would duplicate entries and
+                # zip-mismatch audio/tsv pairs downstream
+                hits = glob(os.path.join(self.path, f"{mode}_data",
+                                         f"{i}.wav"))
+            flacs.extend(hits)
+            tsvs.extend(glob(os.path.join(self.path, f"tsv_{mode}_labels",
+                                          f"{i}.tsv")))
         return sorted(flacs), sorted(tsvs)
 
     def _first_per_key(self, keys, take_first):
