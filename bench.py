@@ -86,7 +86,7 @@ def main():
     roll = forward(variables, audio_dev)
     roll.block_until_ready()
 
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.perf_counter()
     # software pipeline: device forward i+1 is in flight while the host
     # decodes batch i (jax dispatch is async; np.asarray is the sync point)
