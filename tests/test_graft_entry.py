@@ -1,0 +1,41 @@
+"""The driver's multichip dryrun must pass with NO env setup by the caller.
+
+Round-1 regression: MULTICHIP_r01.json recorded ok=false because
+dryrun_multichip relied on the caller exporting JAX_PLATFORMS=cpu.  It now
+self-forces the virtual CPU mesh (jax.config.update, with a
+clear_backends fallback when the backend is already initialized), so these
+tests run it in pristine subprocesses — exactly how the driver invokes it.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str) -> subprocess.CompletedProcess:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
+    return subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=1200)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_inprocess_no_env():
+    # The driver imports the module and calls the function in-process.
+    proc = _run("import __graft_entry__ as g; g.dryrun_multichip(8)")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip OK on 8 devices" in proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_after_backend_already_bound():
+    # Worst case: something already initialized the default backend.
+    proc = _run(
+        "import jax; jax.devices();"
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip OK on 8 devices" in proc.stdout
