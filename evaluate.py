@@ -97,7 +97,8 @@ def train(spec, model_type, reconstruction, weight_file, mode, inference,
     print_config(ex.current_run)
 
     from reconvat_tpu.data.datasets import MAPS
-    from reconvat_tpu.evaluate import evaluate_wo_velocity
+    from reconvat_tpu.evaluate import (evaluate_wo_velocity,
+                                       make_bucketed_runner)
     from reconvat_tpu.train.prepare import _roots
 
     inference_state = "infer" if inference else "no_infer"
@@ -110,16 +111,9 @@ def train(spec, model_type, reconstruction, weight_file, mode, inference,
     variables = model.init(jax.random.PRNGKey(0))
     variables = load_weights(model, variables, weight_file)
 
-    batch_keys = ("audio", "onset", "offset", "frame", "velocity")
-
-    def runner(item):
-        batch = {k: (np.asarray(v)[None]
-                     if k in batch_keys and np.asarray(v).ndim in (1, 2)
-                     else v) for k, v in item.items()}
-        p, l, s, _ = model.run_on_batch(variables, batch, None,
-                                        jax.random.PRNGKey(0), vat=False,
-                                        train=False)
-        return p, l, s
+    # jitted bucketed full-song evaluation: <= ~7 compiled shapes for the
+    # whole corpus instead of one eager trace per song length
+    runner = make_bucketed_runner(model, variables)
 
     metrics = evaluate_wo_velocity(
         validation_dataset, runner, reconstruction=reconstruction,

@@ -27,6 +27,72 @@ def _to_host(x):
     return np.asarray(x)
 
 
+def make_bucketed_runner(model, variables, buckets=None):
+    """Jitted full-song eval runner for `evaluate_wo_velocity`.
+
+    The reference evaluates each full song eagerly at its exact length
+    (`model/evaluate_functions.py:24-27`, `model/helper_functions.py:65`) —
+    under jit that recompiles per song. This runner instead pads each song
+    to a doubling ladder of frame counts (`models/common.BUCKET_LADDER`,
+    <= ~7 compiled shapes for any corpus), masks the normalization
+    statistics and losses to the true frames (exact), and trims the
+    predictions (differ from the exact path only inside the
+    receptive-field halo at the clip end).
+
+    The compiled-shape cache is exposed as `runner.cache` for tests.
+    """
+    import inspect
+
+    import jax
+    import jax.numpy as jnp
+
+    from .models.common import (BUCKET_LADDER, frames_in, next_bucket,
+                                pad_song_batch)
+
+    buckets = tuple(buckets) if buckets is not None else BUCKET_LADDER
+    cache = {}
+    supports_bucketing = ("t_true" in inspect.signature(
+        model.run_on_batch).parameters)
+
+    def eval_fn(variables, batch, t_true):
+        p, l, s, _ = model.run_on_batch(variables, batch, None,
+                                        jax.random.PRNGKey(0), vat=False,
+                                        train=False, t_true=t_true)
+        return p, l, s
+
+    def exact_runner(item):
+        batch = {k: (np.asarray(v)[None]
+                     if k in ("audio", "onset", "offset", "frame",
+                              "velocity") and np.asarray(v).ndim in (1, 2)
+                     else v)
+                 for k, v in item.items()}
+        p, l, s, _ = model.run_on_batch(variables, batch, None,
+                                        jax.random.PRNGKey(0), vat=False,
+                                        train=False)
+        return p, l, s
+
+    def runner(item):
+        if not supports_bucketing:
+            return exact_runner(item)
+        audio = np.asarray(item["audio"])
+        # +2: guarantee >= 1024 samples of pad so the reflect fill covers
+        # the frontend's full center-padding reach (true frames bit-exact)
+        t_pad = next_bucket(frames_in(audio.shape[-1]) + 2, buckets)
+        batch, t_true = pad_song_batch(item, t_pad)
+        fn = cache.get(t_pad)
+        if fn is None:
+            fn = cache[t_pad] = jax.jit(eval_fn)
+        preds, losses, spec = fn(variables, batch,
+                                 jnp.asarray(t_true, jnp.int32))
+        preds = {k: (v[:, :t_true] if v is not None and hasattr(v, "ndim")
+                     and v.ndim >= 2 and v.shape[1] == t_pad else v)
+                 for k, v in preds.items()}
+        return preds, losses, spec[:, :t_true]
+
+    runner.cache = cache
+    return runner
+
+
 def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
                          frame_threshold=0.5, save_path=None,
                          reconstruction=True, onset=True, pseudo_onset=False,

@@ -1,0 +1,120 @@
+"""Shared signal-chain and bucketing helpers for all model families.
+
+The reference evaluates full songs eagerly at their exact length
+(`model/helper_functions.py:65`, `evaluate.py:86-90`) — free in torch,
+pathological under jit (one recompile per song length). Every model here
+instead supports a *bucketed* path: the song is padded to a small ladder of
+frame counts, the spectrogram normalization statistics and the losses are
+masked to the true frames, and predictions are trimmed before returning.
+Outputs differ from the exact path only inside the network's receptive-field
+halo at the clip end (window-31 attention: 15 frames; U-Net convs: a few
+dozen more).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+# Doubling ladder: any song up to ~10.9 min compiles one of 7 shapes;
+# longer songs extend the ladder by further doubling.
+BUCKET_LADDER = (640, 1280, 2560, 5120, 10240, 20480)
+
+
+def next_bucket(t_true: int, ladder=BUCKET_LADDER) -> int:
+    for b in ladder:
+        if t_true <= b:
+            return b
+    b = ladder[-1]
+    while b < t_true:
+        b *= 2
+    return b
+
+
+def frames_in(n_samples: int) -> int:
+    """Frame count produced by the signal chain for an n-sample clip
+    (the chain drops the final sample: 327680 samples -> 640 frames,
+    reference `model/self_attention_VAT.py:1112`)."""
+    return (n_samples - 1) // C.HOP_LENGTH + 1
+
+
+def frame_mask(t_true, n_frames: int):
+    """Boolean (n_frames,) mask of the true (unpadded) frames; t_true may be
+    a traced scalar so one compiled shape serves every song in the bucket."""
+    return jnp.arange(n_frames) < t_true
+
+
+def make_log_norm_spec(model, audio, t_true=None):
+    """audio (B, N) float in [-1, 1] -> normalized (log-)spec (B, T, F).
+
+    The common chain of every model family (frontend -> log(x+1e-5) ->
+    min-max normalize). With t_true, the normalization statistics cover only
+    the true frames of a padded clip.
+    """
+    spec = model.frontend(audio[:, :-1])
+    if getattr(model, "log", True):
+        spec = jnp.log(spec + 1e-5)
+    mask = None if t_true is None else frame_mask(t_true, spec.shape[1])
+    return model.normalize(spec, mask)
+
+
+def pad_audio_to_frames(audio, t_pad: int):
+    """Right-pad (B, N) audio so the signal chain yields exactly t_pad
+    frames: the chain drops the last sample, and t_pad*HOP - 1 samples give
+    1 + (t_pad*HOP - 1)//HOP = t_pad frames.
+
+    The pad begins with a reflection of the signal end — exactly what the
+    frontend's center-padding would synthesize there in the exact-shape
+    path — so spectrogram frames below t_true are bit-identical to the
+    unpadded computation (they'd otherwise see zeros where the exact path
+    reflects), then zeros.
+    """
+    n_pad = t_pad * C.HOP_LENGTH
+    n = audio.shape[1]
+    assert n <= n_pad, (audio.shape, t_pad)
+    if n == n_pad:
+        return audio
+    xp = jnp if isinstance(audio, jnp.ndarray) else np
+    # the chain drops the last sample, so the signal the frontend reflects
+    # around in the exact path is audio[:, :-1] — reflect that, then zeros,
+    # then one trailing sample for the chain to drop
+    x = audio[:, :-1]
+    pad = (n_pad - 1) - x.shape[1]
+    r = min(pad, x.shape[1] - 1)
+    out = xp.pad(x, ((0, 0), (0, r)), mode="reflect")
+    return xp.pad(out, ((0, 0), (0, pad - r + 1)))
+
+
+def pad_song_batch(item, t_pad: int):
+    """Host-side: full-song label dict -> batch-of-1 dict padded to t_pad
+    frames. Returns (batch, t_true)."""
+    audio = np.asarray(item["audio"])
+    if audio.ndim == 1:
+        audio = audio[None]
+    t_true = frames_in(audio.shape[1])
+    assert t_true <= t_pad, (t_true, t_pad)
+    batch = {"audio": np.asarray(pad_audio_to_frames(audio, t_pad))}
+    for k in ("onset", "offset", "frame", "velocity"):
+        if k in item:
+            v = np.asarray(item[k])
+            if v.ndim == 2:
+                v = v[None]
+            batch[k] = np.pad(v, ((0, 0), (0, t_pad - v.shape[1]), (0, 0)))
+    return batch, t_true
+
+
+def transcribe_spec(model, audio, bucket_frames: int = 0):
+    """Deployment-path spec preparation shared by every model's
+    `transcribe`: returns (spec (B,T,F), t_true or None).
+
+    bucket_frames > 0 pads the clip to a frame-bucket boundary so
+    arbitrary-length songs reuse a handful of compiled shapes; the caller
+    trims the returned rolls to t_true.
+    """
+    if not bucket_frames:
+        return make_log_norm_spec(model, audio), None
+    t_true = frames_in(audio.shape[1])
+    t_pad = -(-t_true // bucket_frames) * bucket_frames
+    audio = pad_audio_to_frames(audio, t_pad)
+    return make_log_norm_spec(model, audio, t_true), t_true

@@ -4,16 +4,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def binary_cross_entropy(pred, target):
+def _masked_mean(x, frame_mask):
+    """Mean over the frames selected by frame_mask (bool, (frames,), axis 1
+    of x). Equals jnp.mean of the array trimmed to the true frames — used by
+    bucketed full-song evaluation so padded frames don't dilute losses."""
+    if frame_mask is None:
+        return jnp.mean(x)
+    m = frame_mask.reshape((1, -1) + (1,) * (x.ndim - 2))
+    scale = x.size // frame_mask.size  # batch x trailing dims per frame
+    return jnp.sum(jnp.where(m, x, 0.0)) / (jnp.sum(frame_mask) * scale)
+
+
+def binary_cross_entropy(pred, target, frame_mask=None):
     """Mean BCE on probabilities; log clamped at -100 like torch
     `F.binary_cross_entropy`."""
     logp = jnp.maximum(jnp.log(pred), -100.0)
     log1mp = jnp.maximum(jnp.log(1.0 - pred), -100.0)
-    return -jnp.mean(target * logp + (1.0 - target) * log1mp)
+    return -_masked_mean(target * logp + (1.0 - target) * log1mp, frame_mask)
 
 
-def mse_loss(pred, target):
-    return jnp.mean((pred - target) ** 2)
+def mse_loss(pred, target, frame_mask=None):
+    return _masked_mean((pred - target) ** 2, frame_mask)
 
 
 def binary_kl_div(y_pred, y_ref):

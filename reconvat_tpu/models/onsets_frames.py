@@ -33,13 +33,16 @@ class OnsetsAndFramesModule(nn.Module):
     input_features: int = C.N_BINS
     output_features: int = N_KEYS
     model_complexity: int = 48
+    dtype: str | None = None   # conv-trunk compute dtype (bf16 mixed prec)
 
     def setup(self):
         model_size = self.model_complexity * 16
         self.onset_stack = OnsetStack(self.input_features, model_size,
-                                      self.output_features)
+                                      self.output_features,
+                                      dtype=self.dtype)
         self.combined_stack = CombineStack(model_size, self.output_features)
-        self.frame_conv = ConvStack(self.input_features, model_size)
+        self.frame_conv = ConvStack(self.input_features, model_size,
+                                    dtype=self.dtype)
         self.frame_linear = nn.Dense(self.output_features,
                                      kernel_init=torch_conv_init)
 
@@ -73,12 +76,14 @@ class OnsetsAndFrames:
     kl_div: bool = False
     n_heads: int = 4
     reconstruction: bool = False   # this family has no reconstruction chain
+    compute_dtype: str | None = None  # 'bfloat16' = mixed-precision trunk
 
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(self.spec)
         self.module = OnsetsAndFramesModule(self.n_bins,
                                             self.output_features,
-                                            self.model_complexity)
+                                            self.model_complexity,
+                                            dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         # spec here is (B, T, F): VAT L2 norm over the bins axis = -1
         self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
@@ -88,14 +93,12 @@ class OnsetsAndFrames:
         dummy = jnp.zeros((1, seq_frames, self.n_bins))
         return self.module.init({"params": key}, dummy, train=False)
 
-    def make_spec(self, audio):
+    def make_spec(self, audio, t_true=None):
         from ..parallel.mesh import spec_constraint
 
-        spec = self.frontend(audio[:, :-1])
-        if self.log:
-            spec = jnp.log(spec + 1e-5)
-        spec = self.normalize(spec)
-        return spec_constraint(spec)
+        from .common import make_log_norm_spec
+
+        return spec_constraint(make_log_norm_spec(self, audio, t_true))
 
     def _apply(self, variables, x, train, rngs=None):
         if train:
@@ -117,10 +120,14 @@ class OnsetsAndFrames:
         return fn
 
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
+        from .common import frame_mask
+
         prefix = "train" if train else "test"
         frame_label = batch_l["frame"]
         onset_label = batch_l["onset"]
+        mask = (None if t_true is None
+                else frame_mask(t_true, frame_label.shape[1]))
         zero = jnp.zeros(())
 
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -135,7 +142,7 @@ class OnsetsAndFrames:
                                      spec_ul, k_ul, self.vat_cfg)
             r_norm_ul = jnp.mean(jnp.abs(rn))
 
-        spec = self.make_spec(batch_l["audio"])
+        spec = self.make_spec(batch_l["audio"], t_true)
 
         lds_l, r_adv, r_norm_l = zero, None, zero
         if vat:
@@ -152,9 +159,9 @@ class OnsetsAndFrames:
                        "activation": activation_pred, "r_adv": r_adv}
         losses = {
             f"loss/{prefix}_frame":
-                binary_cross_entropy(frame_pred, frame_label),
+                binary_cross_entropy(frame_pred, frame_label, mask),
             f"loss/{prefix}_onset":
-                binary_cross_entropy(onset_pred, onset_label),
+                binary_cross_entropy(onset_pred, onset_label, mask),
             f"loss/{prefix}_LDS_l": lds_l,
         }
         if train:
@@ -166,10 +173,15 @@ class OnsetsAndFrames:
 
         return predictions, losses, spec, new_stats
 
-    def transcribe(self, variables, audio):
-        spec = self.make_spec(audio)
+    def transcribe(self, variables, audio, bucket_frames: int = 0):
+        from .common import transcribe_spec
+
+        spec, t_true = transcribe_spec(self, audio, bucket_frames)
         onset_pred, _, frame_pred = self.module.apply(variables, spec,
                                                       train=False)
+        if bucket_frames:
+            onset_pred = onset_pred[:, :t_true]
+            frame_pred = frame_pred[:, :t_true]
         return {"onset": onset_pred, "frame": frame_pred}
 
     def load_reference_weights(self, path: str, variables):
@@ -228,11 +240,13 @@ class FrameStackModule(nn.Module):
     input_features: int = C.N_BINS
     output_features: int = N_KEYS
     model_complexity: int = 48
+    dtype: str | None = None
 
     def setup(self):
         model_size = self.model_complexity * 16
         self.combined_stack = CombineStack(model_size, self.output_features)
-        self.frame_conv = ConvStack(self.input_features, model_size)
+        self.frame_conv = ConvStack(self.input_features, model_size,
+                                    dtype=self.dtype)
         self.frame_linear = nn.Dense(self.output_features,
                                      kernel_init=torch_conv_init)
 
@@ -253,11 +267,13 @@ class OnsetStackModule(nn.Module):
     input_features: int = C.N_BINS
     output_features: int = N_KEYS
     model_complexity: int = 48
+    dtype: str | None = None
 
     def setup(self):
         model_size = self.model_complexity * 16
         self.onset_stack = OnsetStack(self.input_features, model_size,
-                                      self.output_features)
+                                      self.output_features,
+                                      dtype=self.dtype)
 
     def __call__(self, spec, train: bool = False):
         return self.onset_stack(spec, train)
@@ -275,7 +291,8 @@ class FrameStackVAT(OnsetsAndFrames):
 
         self.frontend, self.n_bins = make_frontend(self.spec)
         self.module = FrameStackModule(self.n_bins, self.output_features,
-                                       self.model_complexity)
+                                       self.model_complexity,
+                                       dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
 
         mode = self.vat_mode
@@ -307,18 +324,22 @@ class FrameStackVAT(OnsetsAndFrames):
         return fn
 
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
         """Loss keys per reference (`model/onset_frame_VAT.py:491-501`):
         single combined 'loss/{train,test}_LDS'."""
+        from .common import frame_mask
+
         prefix = "train" if train else "test"
         frame_label = batch_l["frame"]
+        mask = (None if t_true is None
+                else frame_mask(t_true, frame_label.shape[1]))
         zero = jnp.zeros(())
 
         key = key if key is not None else jax.random.PRNGKey(0)
         key, drop_key = jax.random.split(key)
         rngs = {"dropout": drop_key} if train else None
 
-        spec = self.make_spec(batch_l["audio"])
+        spec = self.make_spec(batch_l["audio"], t_true)
 
         lds_ul = zero
         if batch_ul is not None and vat:
@@ -340,13 +361,13 @@ class FrameStackVAT(OnsetsAndFrames):
         if train:
             losses = {
                 "loss/train_frame":
-                    binary_cross_entropy(frame_pred, frame_label),
+                    binary_cross_entropy(frame_pred, frame_label, mask),
                 "loss/train_LDS": (lds_ul + lds_l) / 2,
             }
         else:
             losses = {
                 "loss/test_frame":
-                    binary_cross_entropy(frame_pred, frame_label),
+                    binary_cross_entropy(frame_pred, frame_label, mask),
                 "loss/test_LDS": lds_l,
             }
         return predictions, losses, spec, new_stats
@@ -363,7 +384,8 @@ class OnsetStackVAT(OnsetsAndFrames):
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(self.spec)
         self.module = OnsetStackModule(self.n_bins, self.output_features,
-                                       self.model_complexity)
+                                       self.model_complexity,
+                                       dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
                                  norm_axis=-1, grad_rescue=1.0, clamp=False)
@@ -379,16 +401,20 @@ class OnsetStackVAT(OnsetsAndFrames):
         return fn
 
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
+        from .common import frame_mask
+
         prefix = "train" if train else "test"
         onset_label = batch_l["onset"]
+        mask = (None if t_true is None
+                else frame_mask(t_true, onset_label.shape[1]))
         zero = jnp.zeros(())
 
         key = key if key is not None else jax.random.PRNGKey(0)
         key, drop_key = jax.random.split(key)
         rngs = {"dropout": drop_key} if train else None
 
-        spec = self.make_spec(batch_l["audio"])
+        spec = self.make_spec(batch_l["audio"], t_true)
         lds_ul = zero
         if batch_ul is not None and vat:
             spec_ul = self.make_spec(batch_ul["audio"])
@@ -404,22 +430,24 @@ class OnsetStackVAT(OnsetsAndFrames):
 
         out, new_stats = self._apply(variables, spec, train, rngs)
         onset_pred = out
-        accuracy = jnp.mean(
+        from .losses import _masked_mean
+
+        accuracy = _masked_mean(
             (onset_label == (onset_pred > 0.5).astype(onset_label.dtype))
-            .astype(jnp.float32))
+            .astype(jnp.float32), mask)
         predictions = {"onset": onset_pred, "frame": onset_pred,
                        "r_adv": r_adv}
         if train:
             losses = {
                 "loss/train_onset":
-                    binary_cross_entropy(onset_pred, onset_label),
+                    binary_cross_entropy(onset_pred, onset_label, mask),
                 "metric/train_accuracy": accuracy,
                 "loss/train_LDS": (lds_ul + lds_l) / 2,
             }
         else:
             losses = {
                 "loss/test_onset":
-                    binary_cross_entropy(onset_pred, onset_label),
+                    binary_cross_entropy(onset_pred, onset_label, mask),
                 "metric/test_accuracy": accuracy,
                 "loss/test_LDS": lds_l,
             }

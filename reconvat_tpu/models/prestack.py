@@ -29,21 +29,24 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     downsample: bool = False
+    dtype: str | None = None   # computation dtype; params/BN stay fp32
 
     def setup(self):
         self.conv1 = nn.Conv(self.features, (3, 3),
                              strides=(self.strides, self.strides),
                              padding=[(1, 1), (1, 1)], use_bias=False,
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         self.conv2 = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                             use_bias=False, kernel_init=torch_conv_init)
+                             use_bias=False, kernel_init=torch_conv_init,
+                             dtype=self.dtype)
         self.bn2 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         if self.downsample:
             self.down_conv = nn.Conv(self.features, (1, 1),
                                      strides=(self.strides, self.strides),
                                      use_bias=False,
-                                     kernel_init=torch_conv_init)
+                                     kernel_init=torch_conv_init,
+                                     dtype=self.dtype)
             self.down_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
 
     def __call__(self, x, train: bool):
@@ -61,11 +64,12 @@ class ResNet18(nn.Module):
     BasicBlocks (64/128/256/512) -> global avgpool -> fc."""
     num_classes: int = N_KEYS
     in_features: int = 64
+    dtype: str | None = None
 
     def setup(self):
         self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2),
                              padding=[(3, 3), (3, 3)], use_bias=False,
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         blocks = []
         for stage, (feats, stride) in enumerate(
@@ -73,7 +77,8 @@ class ResNet18(nn.Module):
             for i in range(2):
                 s = stride if i == 0 else 1
                 blocks.append(BasicBlock(feats, s,
-                                         downsample=(i == 0 and stage > 0)))
+                                         downsample=(i == 0 and stage > 0),
+                                         dtype=self.dtype))
         self.blocks = blocks
         self.fc = nn.Dense(self.num_classes, kernel_init=torch_conv_init)
 
@@ -93,12 +98,14 @@ class PrestackModule(nn.Module):
     `model/Unet_prestack.py:98-109`) -> ResNet-18 over each 229x25 patch."""
     n_bins: int = C.N_BINS
     patch: int = 25
+    dtype: str | None = None
 
     def setup(self):
-        self.Unet1_encoder = Encoder(ds_ksize=(3, 3), ds_stride=(1, 1))
+        self.Unet1_encoder = Encoder(ds_ksize=(3, 3), ds_stride=(1, 1),
+                                     dtype=self.dtype)
         self.Unet1_decoder = Decoder(num_instruments=1, ds_ksize=(3, 3),
-                                     ds_stride=(1, 1))
-        self.resnet = ResNet18(N_KEYS)
+                                     ds_stride=(1, 1), dtype=self.dtype)
+        self.resnet = ResNet18(N_KEYS, dtype=self.dtype)
 
     def __call__(self, spec, train: bool = False):
         """spec (B, T, F) -> logits (B, T, 88) (sigmoid applied by caller,
@@ -129,25 +136,31 @@ class Prestack:
     spec: str = "Mel"
     n_heads: int = 4
     reconstruction: bool = False
+    compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
 
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(self.spec)
-        self.module = PrestackModule(self.n_bins)
+        self.module = PrestackModule(self.n_bins,
+                                     dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
 
     def init(self, key, seq_frames: int = 640):
         dummy = jnp.zeros((1, min(seq_frames, 8), self.n_bins))
         return self.module.init(key, dummy, train=False)
 
-    def make_spec(self, audio):
-        spec = self.frontend(audio[:, :-1])
-        spec = jnp.log(spec + 1e-5)
-        return self.normalize(spec)
+    def make_spec(self, audio, t_true=None):
+        from .common import make_log_norm_spec
+
+        return make_log_norm_spec(self, audio, t_true)
 
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
+        from .common import frame_mask
+
         frame_label = batch_l["frame"]
-        spec = self.make_spec(batch_l["audio"])
+        mask = (None if t_true is None
+                else frame_mask(t_true, frame_label.shape[1]))
+        spec = self.make_spec(batch_l["audio"], t_true)
         if train:
             logits, updates = self.module.apply(variables, spec, train=True,
                                                 mutable=["batch_stats"])
@@ -159,11 +172,15 @@ class Prestack:
         predictions = {"onset": frame_pred, "frame": frame_pred,
                        "r_adv": None}
         losses = {"loss/train_frame":
-                  binary_cross_entropy(frame_pred, frame_label)}
+                  binary_cross_entropy(frame_pred, frame_label, mask)}
         return predictions, losses, spec, new_stats
 
-    def transcribe(self, variables, audio):
-        spec = self.make_spec(audio)
+    def transcribe(self, variables, audio, bucket_frames: int = 0):
+        from .common import transcribe_spec
+
+        spec, t_true = transcribe_spec(self, audio, bucket_frames)
         frame_pred = nn.sigmoid(self.module.apply(variables, spec,
                                                   train=False))
+        if bucket_frames:
+            frame_pred = frame_pred[:, :t_true]
         return {"onset": frame_pred, "frame": frame_pred}

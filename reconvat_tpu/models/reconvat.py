@@ -151,18 +151,19 @@ class ReconVAT:
         dummy = jnp.zeros((1, seq_frames, self.n_bins, 1))
         return self.module.init(key, dummy, train=False)
 
-    def make_spec(self, audio):
+    def make_spec(self, audio, t_true=None):
         """audio (B, N) float in [-1, 1] -> normalized log-spec (B,T,F,1).
 
         Drops the final sample so 327680-sample crops give exactly 640
-        frames (reference `model/self_attention_VAT.py:1112`).
+        frames (reference `model/self_attention_VAT.py:1112`). t_true masks
+        the normalization statistics to the true frames of a padded clip
+        (bucketed full-song evaluation).
         """
         from ..parallel.mesh import spec_constraint
 
-        spec = self.frontend(audio[:, :-1])
-        if self.log:
-            spec = jnp.log(spec + 1e-5)
-        spec = self.normalize(spec)
+        from .common import make_log_norm_spec
+
+        spec = make_log_norm_spec(self, audio, t_true)
         return spec_constraint(spec[..., None])
 
     def _apply(self, variables, x, train: bool):
@@ -188,14 +189,21 @@ class ReconVAT:
 
     # -- batch contract ------------------------------------------------------
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
         """Functional counterpart of reference `UNet.run_on_batch`
         (`model/self_attention_VAT.py:1090-1203`).
 
         Returns (predictions, losses, spec (B,T,F), new_batch_stats).
+        t_true (traced scalar) masks spec normalization and losses to the
+        true frames of a bucket-padded full song — losses then equal the
+        exact-shape computation up to the receptive-field halo at clip end.
         """
+        from .common import frame_mask
+
         prefix = "train" if train else "test"
         frame_label = batch_l["frame"]
+        mask = (None if t_true is None
+                else frame_mask(t_true, frame_label.shape[1]))
         zero = jnp.zeros(())
 
         lds_ul, r_norm_ul = zero, zero
@@ -206,7 +214,7 @@ class ReconVAT:
                                      spec_ul, k_ul, self.vat_cfg)
             r_norm_ul = jnp.mean(jnp.abs(rn))
 
-        spec = self.make_spec(batch_l["audio"])
+        spec = self.make_spec(batch_l["audio"], t_true)
 
         lds_l, r_adv, r_norm_l = zero, None, zero
         if vat:
@@ -229,11 +237,11 @@ class ReconVAT:
             losses = {
                 f"loss/{prefix}_reconstruction":
                     mse_loss(reconstruction[..., 0],
-                             jax.lax.stop_gradient(spec[..., 0])),
+                             jax.lax.stop_gradient(spec[..., 0]), mask),
                 f"loss/{prefix}_frame":
-                    binary_cross_entropy(pianoroll, frame_label),
+                    binary_cross_entropy(pianoroll, frame_label, mask),
                 f"loss/{prefix}_frame2":
-                    binary_cross_entropy(pianoroll2, frame_label),
+                    binary_cross_entropy(pianoroll2, frame_label, mask),
                 f"loss/{prefix}_LDS_l": lds_l,
             }
         else:
@@ -242,7 +250,7 @@ class ReconVAT:
                            "attention": a, "r_adv": r_adv}
             losses = {
                 f"loss/{prefix}_frame":
-                    binary_cross_entropy(pianoroll, frame_label),
+                    binary_cross_entropy(pianoroll, frame_label, mask),
                 f"loss/{prefix}_LDS_l": lds_l,
             }
         if train:
@@ -329,27 +337,12 @@ class ReconVAT:
         exact per-song shapes would recompile per length). Normalization
         statistics are computed over the true frames only, and the padded
         tail is trimmed before returning — output differs from the exact
-        path only within the 15-frame attention halo at the clip end.
+        path only within the receptive-field halo at the clip end.
         """
-        if bucket_frames:
-            n = audio.shape[1]
-            t_true = (n - 1) // C.HOP_LENGTH + 1
-            t_pad = -(-t_true // bucket_frames) * bucket_frames
-            n_pad = t_pad * C.HOP_LENGTH + 1
-            audio = jnp.pad(audio, ((0, 0), (0, n_pad - n)))
-            spec = self.frontend(audio[:, :-1])   # (B, t_pad + 1, F)
-            if self.log:
-                spec = jnp.log(spec + 1e-5)
-            # masked imagewise min-max over the true frames only
-            mask = (jnp.arange(spec.shape[1]) < t_true)[None, :, None]
-            x_max = jnp.max(jnp.where(mask, spec, -jnp.inf), axis=(1, 2),
-                            keepdims=True)
-            x_min = jnp.min(jnp.where(mask, spec, jnp.inf), axis=(1, 2),
-                            keepdims=True)
-            spec = ((spec - x_min) / (x_max - x_min))[..., None]
-        else:
-            t_true = None
-            spec = self.make_spec(audio)
+        from .common import transcribe_spec
+
+        spec, t_true = transcribe_spec(self, audio, bucket_frames)
+        spec = spec[..., None]
         out = self.module.apply(variables, spec, train=False)
         if self.reconstruction:
             _, pianoroll, _, _ = out

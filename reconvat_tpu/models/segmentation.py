@@ -68,19 +68,23 @@ class ConvBlockSeg(nn.Module):
     ksize: tuple = (3, 3)
     stride: tuple = (2, 2)
     dropout_rate: float = 0.4
+    dtype: str | None = None   # computation dtype; params/BN stay fp32
 
     def setup(self):
         self.conv1 = nn.Conv(self.out, self.ksize, strides=self.stride,
-                             padding="VALID", kernel_init=torch_conv_init)
+                             padding="VALID", kernel_init=torch_conv_init,
+                             dtype=self.dtype)
         self.bn1 = _bn()
         self.dropout1 = nn.Dropout(self.dropout_rate)
         self.conv2 = nn.Conv(self.out, self.ksize, strides=(1, 1),
-                             padding="VALID", kernel_init=torch_conv_init)
+                             padding="VALID", kernel_init=torch_conv_init,
+                             dtype=self.dtype)
         self.bn2 = _bn()
         self.dropout2 = nn.Dropout(self.dropout_rate)
         self.conv_skip = nn.Conv(self.out, (1, 1), strides=self.stride,
                                  padding="VALID",
-                                 kernel_init=torch_conv_init)
+                                 kernel_init=torch_conv_init,
+                                 dtype=self.dtype)
 
     def __call__(self, x, train: bool):
         skip = x
@@ -105,18 +109,20 @@ class TransposeConvBlock(nn.Module):
     ksize: tuple = (3, 3)
     stride: tuple = (2, 2)
     dropout_rate: float = 0.4
+    dtype: str | None = None
 
     def setup(self):
         self.conv1 = nn.Conv(self.out, self.ksize, strides=(1, 1),
-                             padding="VALID", kernel_init=torch_conv_init)
+                             padding="VALID", kernel_init=torch_conv_init,
+                             dtype=self.dtype)
         self.bn1 = _bn()
         self.dropout1 = nn.Dropout(self.dropout_rate)
         self.conv2 = TorchConvTranspose(self.out, self.ksize, self.stride,
-                                        (0, 0))
+                                        (0, 0), dtype=self.dtype)
         self.bn2 = _bn()
         self.dropout2 = nn.Dropout(self.dropout_rate)
         self.conv_skip = TorchConvTranspose(self.out, (1, 1), self.stride,
-                                            (0, 0))
+                                            (0, 0), dtype=self.dtype)
 
     def __call__(self, x, target_hw, train: bool):
         skip = x
@@ -148,17 +154,19 @@ class MultiHeadAttention2D(nn.Module):
     kernel_size: tuple = (3, 3)
     groups: int = 1
     use_bias: bool = False
+    dtype: str | None = None
 
     def setup(self):
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         self.query_conv = nn.Conv(self.out_channels, (1, 1),
                                   use_bias=self.use_bias,
-                                  kernel_init=kaiming)
+                                  kernel_init=kaiming, dtype=self.dtype)
         self.key_conv = nn.Conv(self.out_channels, (1, 1),
-                                use_bias=self.use_bias, kernel_init=kaiming)
+                                use_bias=self.use_bias, kernel_init=kaiming,
+                                dtype=self.dtype)
         self.value_conv = nn.Conv(self.out_channels, (1, 1),
                                   use_bias=self.use_bias,
-                                  kernel_init=kaiming)
+                                  kernel_init=kaiming, dtype=self.dtype)
         kh, kw = self.kernel_size
         # torch shapes kept verbatim for weight conversion
         self.rel_t = self.param("rel_t", nn.initializers.normal(1.0),
@@ -193,40 +201,43 @@ class MultiHeadAttention2D(nn.Module):
         rel_f = jnp.broadcast_to(self.rel_f[:, 0, 0, :, :],
                                  (Co // 2, kh, kw))
         rel = jnp.concatenate([rel_t, rel_f], axis=0)   # (C, kh, kw)
-        k_win = k_win + rel[None, None, None]
+        k_win = k_win + rel[None, None, None].astype(k_win.dtype)
 
         qg = q.reshape(B, H, W, G, Co // G)
         kg = k_win.reshape(B, H, W, G, Co // G, kh * kw)
         vg = v_win.reshape(B, H, W, G, Co // G, kh * kw)
         energy = jnp.einsum("bhwgc,bhwgck->bhwgk", qg, kg)
-        attn = jax.nn.softmax(energy, axis=-1)
-        out = jnp.einsum("bhwgk,bhwgck->bhwgc", attn, vg)
-        return out.reshape(B, H, W, Co), attn
+        # softmax in fp32 regardless of compute dtype
+        attn = jax.nn.softmax(energy.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhwgk,bhwgck->bhwgc", attn.astype(vg.dtype), vg)
+        return out.reshape(B, H, W, Co).astype(jnp.float32), attn
 
 
 class SegEncoder(nn.Module):
     """Reference Segmentation `Encoder` (`model/Segmentation.py:356-431`)."""
     dropout_rate: float = 0.4
+    dtype: str | None = None
 
     def setup(self):
-        d = self.dropout_rate
+        d, dt = self.dropout_rate, self.dtype
         self.encoding_layer = nn.Conv(32, (7, 7), strides=(1, 1),
                                       padding="VALID",
-                                      kernel_init=torch_conv_init)
-        self.layer1a = ConvBlockSeg(32, 32, (3, 3), (2, 2), d)
-        self.layer1b = ConvBlockSeg(32, 32, (3, 3), (1, 1), d)
-        self.layer2a = ConvBlockSeg(32, 64, (3, 3), (2, 2), d)
-        self.layer2b = ConvBlockSeg(64, 64, (3, 3), (1, 1), d)
-        self.layer2c = ConvBlockSeg(64, 64, (3, 3), (1, 1), d)
-        self.layer3a = ConvBlockSeg(64, 128, (3, 3), (2, 2), d)
-        self.layer3b = ConvBlockSeg(128, 128, (3, 3), (1, 1), d)
-        self.layer3c = ConvBlockSeg(128, 128, (3, 3), (1, 1), d)
-        self.layer3d = ConvBlockSeg(128, 128, (3, 3), (1, 1), d)
-        self.layer4a = ConvBlockSeg(128, 256, (3, 3), (2, 2), d)
-        self.layer4b = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
-        self.layer4c = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
-        self.layer4d = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
-        self.layer4e = ConvBlockSeg(256, 256, (3, 3), (1, 1), d)
+                                      kernel_init=torch_conv_init,
+                                      dtype=dt)
+        self.layer1a = ConvBlockSeg(32, 32, (3, 3), (2, 2), d, dt)
+        self.layer1b = ConvBlockSeg(32, 32, (3, 3), (1, 1), d, dt)
+        self.layer2a = ConvBlockSeg(32, 64, (3, 3), (2, 2), d, dt)
+        self.layer2b = ConvBlockSeg(64, 64, (3, 3), (1, 1), d, dt)
+        self.layer2c = ConvBlockSeg(64, 64, (3, 3), (1, 1), d, dt)
+        self.layer3a = ConvBlockSeg(64, 128, (3, 3), (2, 2), d, dt)
+        self.layer3b = ConvBlockSeg(128, 128, (3, 3), (1, 1), d, dt)
+        self.layer3c = ConvBlockSeg(128, 128, (3, 3), (1, 1), d, dt)
+        self.layer3d = ConvBlockSeg(128, 128, (3, 3), (1, 1), d, dt)
+        self.layer4a = ConvBlockSeg(128, 256, (3, 3), (2, 2), d, dt)
+        self.layer4b = ConvBlockSeg(256, 256, (3, 3), (1, 1), d, dt)
+        self.layer4c = ConvBlockSeg(256, 256, (3, 3), (1, 1), d, dt)
+        self.layer4d = ConvBlockSeg(256, 256, (3, 3), (1, 1), d, dt)
+        self.layer4e = ConvBlockSeg(256, 256, (3, 3), (1, 1), d, dt)
 
     def __call__(self, x, train: bool):
         original_hw = x.shape[1:3]
@@ -259,16 +270,19 @@ class DecoderBlockSeg(nn.Module):
     hidden_channels: int
     output_channels: int
     dropout_rate: float = 0.4
+    dtype: str | None = None
 
     def setup(self):
         self.layer1a = nn.Conv(self.hidden_channels, (1, 1), strides=(1, 1),
-                               padding="VALID", kernel_init=torch_conv_init)
+                               padding="VALID", kernel_init=torch_conv_init,
+                               dtype=self.dtype)
         self.bn = _bn()
         self.bn_en = _bn()
         self.dropout1 = nn.Dropout(self.dropout_rate)
         self.layer1b = TransposeConvBlock(self.input_channels,
                                           self.output_channels, (3, 3),
-                                          (2, 2), self.dropout_rate)
+                                          (2, 2), self.dropout_rate,
+                                          self.dtype)
 
     def __call__(self, x, encoder_output, encoder_hw, train: bool):
         skip = x
@@ -285,12 +299,13 @@ class DecoderBlockSeg(nn.Module):
 
 class SegDecoder(nn.Module):
     dropout_rate: float = 0.4
+    dtype: str | None = None
 
     def setup(self):
-        d = self.dropout_rate
-        self.de_layer1 = DecoderBlockSeg(128, 128, 128, 64, d)
-        self.de_layer2 = DecoderBlockSeg(64, 64, 64, 64, d)
-        self.de_layer3 = DecoderBlockSeg(64, 32, 64, 64, d)
+        d, dt = self.dropout_rate, self.dtype
+        self.de_layer1 = DecoderBlockSeg(128, 128, 128, 64, d, dt)
+        self.de_layer2 = DecoderBlockSeg(64, 64, 64, 64, d, dt)
+        self.de_layer3 = DecoderBlockSeg(64, 32, 64, 64, d, dt)
 
     def __call__(self, x, encoder_outputs, encoder_hws, train: bool):
         x = self.de_layer1(x, encoder_outputs[-1], encoder_hws[-2], train)
@@ -305,18 +320,21 @@ class SegmentationModule(nn.Module):
     n_bins: int = C.N_BINS
     out_class: int = 2
     dropout_rate: float = 0.4
+    dtype: str | None = None   # compute dtype; heads/BN/params stay fp32
 
     def setup(self):
-        d = self.dropout_rate
-        self.encoder = SegEncoder(d)
-        self.attention_layer1 = MultiHeadAttention2D(64, (17, 17), groups=1)
+        d, dt = self.dropout_rate, self.dtype
+        self.encoder = SegEncoder(d, dt)
+        self.attention_layer1 = MultiHeadAttention2D(64, (17, 17), groups=1,
+                                                     dtype=dt)
         self.bn1 = _bn()
-        self.attention_layer2 = MultiHeadAttention2D(128, (17, 17), groups=1)
+        self.attention_layer2 = MultiHeadAttention2D(128, (17, 17),
+                                                     groups=1, dtype=dt)
         self.bn2 = _bn()
         self.layer0a = nn.Conv(256, (1, 1), strides=(1, 1), padding="VALID",
-                               kernel_init=torch_conv_init)
-        self.layer0b = TransposeConvBlock(256, 128, (3, 3), (2, 2), d)
-        self.decoder = SegDecoder(d)
+                               kernel_init=torch_conv_init, dtype=dt)
+        self.layer0b = TransposeConvBlock(256, 128, (3, 3), (2, 2), d, dt)
+        self.decoder = SegDecoder(d, dt)
         self.bn_last = _bn()
         self.dropout_last = nn.Dropout(d)
         self.conv_last = nn.Conv(self.out_class, (1, 1), strides=(1, 1),
@@ -365,11 +383,13 @@ class SemanticSegmentation:
     kl_div: bool = False
     n_heads: int = 1
     reconstruction: bool = False
+    compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
 
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(self.spec)
         self.module = SegmentationModule(self.n_bins, self.out_class,
-                                         self.dropout_rate)
+                                         self.dropout_rate,
+                                         dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
                                  kl_div=self.kl_div, norm_axis=2)
@@ -378,13 +398,12 @@ class SemanticSegmentation:
         dummy = jnp.zeros((1, seq_frames, self.n_bins, 1))
         return self.module.init({"params": key}, dummy, train=False)
 
-    def make_spec(self, audio):
+    def make_spec(self, audio, t_true=None):
         from ..parallel.mesh import spec_constraint
 
-        spec = self.frontend(audio[:, :-1])
-        if self.log:
-            spec = jnp.log(spec + 1e-5)
-        spec = self.normalize(spec)
+        from .common import make_log_norm_spec
+
+        spec = make_log_norm_spec(self, audio, t_true)
         return spec_constraint(spec[..., None])
 
     def _model_fn(self, variables, train, rngs=None):
@@ -398,9 +417,13 @@ class SemanticSegmentation:
         return fn
 
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
+        from .common import frame_mask
+
         prefix = "train" if train else "test"
         frame_label = batch_l["frame"]
+        mask = (None if t_true is None
+                else frame_mask(t_true, frame_label.shape[1]))
         zero = jnp.zeros(())
 
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -415,7 +438,7 @@ class SemanticSegmentation:
                                      spec_ul, k_ul, self.vat_cfg)
             r_norm_ul = jnp.mean(jnp.abs(rn))
 
-        spec = self.make_spec(batch_l["audio"])
+        spec = self.make_spec(batch_l["audio"], t_true)
 
         lds_l, r_adv, r_norm_l = zero, None, zero
         if vat:
@@ -439,7 +462,7 @@ class SemanticSegmentation:
                        "r_adv": r_adv}
         losses = {
             f"loss/{prefix}_frame":
-                binary_cross_entropy(frame_pred, frame_label),
+                binary_cross_entropy(frame_pred, frame_label, mask),
             f"loss/{prefix}_LDS_l": lds_l,
         }
         if train:
@@ -450,9 +473,14 @@ class SemanticSegmentation:
             losses[f"loss/{prefix}_r_norm_l"] = r_norm_l
         return predictions, losses, spec[..., 0], new_stats
 
-    def transcribe(self, variables, audio):
-        spec = self.make_spec(audio)
-        pianoroll = self.module.apply(variables, spec, train=False)
+    def transcribe(self, variables, audio, bucket_frames: int = 0):
+        from .common import transcribe_spec
+
+        spec, t_true = transcribe_spec(self, audio, bucket_frames)
+        pianoroll = self.module.apply(variables, spec[..., None],
+                                      train=False)
+        if bucket_frames:
+            pianoroll = pianoroll[:, :t_true]
         return {"onset": pianoroll, "frame": pianoroll}
 
     def load_reference_weights(self, path: str, variables):

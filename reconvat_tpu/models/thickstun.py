@@ -35,17 +35,24 @@ class ThickstunModule(nn.Module):
     freq_kernel: int = 128
     freq_stride: int = 2
     time_kernel: int = 25
+    dtype: str | None = None   # computation dtype; params stay fp32
 
     def setup(self):
         self.CNN_freq = nn.Conv(self.k_out, (1, self.freq_kernel),
                                 strides=(1, self.freq_stride),
                                 padding="VALID",
-                                kernel_init=torch_conv_init)
+                                kernel_init=torch_conv_init,
+                                dtype=self.dtype)
         self.CNN_time = nn.Conv(self.k2_out, (self.time_kernel, 1),
                                 strides=(1, 1), padding="VALID",
-                                kernel_init=torch_conv_init)
+                                kernel_init=torch_conv_init,
+                                dtype=self.dtype)
+        # the (4096*51 -> 88) contraction carries most of the FLOPs, so it
+        # joins the compute dtype (unlike the tiny fp32 heads elsewhere);
+        # MXU accumulation is fp32 either way
         self.linear = nn.Dense(N_KEYS, use_bias=False,
-                               kernel_init=torch_conv_init)
+                               kernel_init=torch_conv_init,
+                               dtype=self.dtype)
 
     def __call__(self, spec, train: bool = False):
         """spec (B, T, F) -> frame posteriogram (B, T, 88)."""
@@ -57,7 +64,7 @@ class ThickstunModule(nn.Module):
         # torch flattens (N, C, F) channel-major (`Thickstun_model.py:34`)
         flat = jnp.transpose(z3, (0, 1, 3, 2)).reshape(B, T, Co * Fo)
         y = self.linear(nn.relu(flat))
-        return nn.sigmoid(y)
+        return nn.sigmoid(y.astype(jnp.float32))
 
 
 @dataclasses.dataclass
@@ -70,38 +77,46 @@ class Thickstun:
     spec: str = "Mel"
     n_heads: int = 4
     reconstruction: bool = False
+    compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
 
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(self.spec)
-        self.module = ThickstunModule()
+        self.module = ThickstunModule(dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
 
     def init(self, key, seq_frames: int = 640):
         dummy = jnp.zeros((1, seq_frames, self.n_bins))
         return self.module.init(key, dummy, train=False)
 
-    def make_spec(self, audio):
+    def make_spec(self, audio, t_true=None):
         from ..parallel.mesh import spec_constraint
 
-        spec = self.frontend(audio[:, :-1])
-        spec = jnp.log(spec + 1e-5)
-        spec = self.normalize(spec)
-        return spec_constraint(spec)
+        from .common import make_log_norm_spec
+
+        return spec_constraint(make_log_norm_spec(self, audio, t_true))
 
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
+        from .common import frame_mask
+
         frame_label = batch_l["frame"]
-        spec = self.make_spec(batch_l["audio"])
+        mask = (None if t_true is None
+                else frame_mask(t_true, frame_label.shape[1]))
+        spec = self.make_spec(batch_l["audio"], t_true)
         frame_pred = self.module.apply(variables, spec, train=train)
         predictions = {"onset": frame_pred, "frame": frame_pred,
                        "r_adv": None}
         losses = {"loss/train_frame":
-                  binary_cross_entropy(frame_pred, frame_label)}
+                  binary_cross_entropy(frame_pred, frame_label, mask)}
         return predictions, losses, spec, None
 
-    def transcribe(self, variables, audio):
-        spec = self.make_spec(audio)
+    def transcribe(self, variables, audio, bucket_frames: int = 0):
+        from .common import transcribe_spec
+
+        spec, t_true = transcribe_spec(self, audio, bucket_frames)
         frame_pred = self.module.apply(variables, spec, train=False)
+        if bucket_frames:
+            frame_pred = frame_pred[:, :t_true]
         return {"onset": frame_pred, "frame": frame_pred}
 
     def load_reference_weights(self, path: str, variables):

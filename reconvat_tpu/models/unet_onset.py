@@ -139,13 +139,12 @@ class UNetOnset:
         dummy = jnp.zeros((1, seq_frames, self.n_bins, 1))
         return self.module.init(key, dummy, train=False)
 
-    def make_spec(self, audio):
+    def make_spec(self, audio, t_true=None):
         from ..parallel.mesh import spec_constraint
 
-        spec = self.frontend(audio[:, :-1])
-        if self.log:
-            spec = jnp.log(spec + 1e-5)
-        spec = self.normalize(spec)
+        from .common import make_log_norm_spec
+
+        spec = make_log_norm_spec(self, audio, t_true)
         return spec_constraint(spec[..., None])
 
     def _apply(self, variables, x, train):
@@ -167,10 +166,14 @@ class UNetOnset:
         return fn
 
     def run_on_batch(self, variables, batch_l, batch_ul=None, key=None,
-                     vat: bool = False, train: bool = True):
+                     vat: bool = False, train: bool = True, t_true=None):
+        from .common import frame_mask
+
         prefix = "train" if train else "test"
         frame_label = batch_l["frame"]
         onset_label = batch_l["onset"]
+        mask = (None if t_true is None
+                else frame_mask(t_true, frame_label.shape[1]))
         zero = jnp.zeros(())
 
         lds_ul = {"frame": zero, "onset": zero}
@@ -182,7 +185,7 @@ class UNetOnset:
                                      spec_ul, k_ul, self.vat_cfg)
             r_norm_ul = jnp.mean(jnp.abs(rn))
 
-        spec = self.make_spec(batch_l["audio"])
+        spec = self.make_spec(batch_l["audio"], t_true)
 
         lds_l = {"frame": zero, "onset": zero}
         r_adv, r_norm_l = None, zero
@@ -207,15 +210,15 @@ class UNetOnset:
             losses = {
                 f"loss/{prefix}_reconstruction":
                     mse_loss(reconstruction[..., 0],
-                             jax.lax.stop_gradient(spec[..., 0])),
+                             jax.lax.stop_gradient(spec[..., 0]), mask),
                 f"loss/{prefix}_frame":
-                    binary_cross_entropy(pianoroll, frame_label),
+                    binary_cross_entropy(pianoroll, frame_label, mask),
                 f"loss/{prefix}_frame2":
-                    binary_cross_entropy(pianoroll2, frame_label),
+                    binary_cross_entropy(pianoroll2, frame_label, mask),
                 f"loss/{prefix}_onset":
-                    binary_cross_entropy(onset, onset_label),
+                    binary_cross_entropy(onset, onset_label, mask),
                 f"loss/{prefix}_onset2":
-                    binary_cross_entropy(onset2, onset_label),
+                    binary_cross_entropy(onset2, onset_label, mask),
                 f"loss/{prefix}_LDS_l_frame": lds_l["frame"],
                 f"loss/{prefix}_LDS_l_onset": lds_l["onset"],
             }
@@ -225,9 +228,9 @@ class UNetOnset:
                            "r_adv": r_adv, "attention": a}
             losses = {
                 f"loss/{prefix}_frame":
-                    binary_cross_entropy(pianoroll, frame_label),
+                    binary_cross_entropy(pianoroll, frame_label, mask),
                 f"loss/{prefix}_onset":
-                    binary_cross_entropy(onset, onset_label),
+                    binary_cross_entropy(onset, onset_label, mask),
                 f"loss/{prefix}_LDS_l_frame": lds_l["frame"],
                 f"loss/{prefix}_LDS_l_onset": lds_l["onset"],
             }
@@ -241,13 +244,17 @@ class UNetOnset:
 
         return predictions, losses, spec[..., 0], new_stats
 
-    def transcribe(self, variables, audio):
-        spec = self.make_spec(audio)
-        out = self.module.apply(variables, spec, train=False)
+    def transcribe(self, variables, audio, bucket_frames: int = 0):
+        from .common import transcribe_spec
+
+        spec, t_true = transcribe_spec(self, audio, bucket_frames)
+        out = self.module.apply(variables, spec[..., None], train=False)
         if self.reconstruction:
             _, pianoroll, onset, _, _, _ = out
         else:
             pianoroll, onset, _ = out
+        if bucket_frames:
+            pianoroll, onset = pianoroll[:, :t_true], onset[:, :t_true]
         return {"onset": onset, "frame": pianoroll}
 
     def load_reference_weights(self, path: str, variables):

@@ -14,28 +14,20 @@ import jax
 import numpy as np
 
 from ..data.loader import DataLoader, cycle, prefetch_to_device
-from ..evaluate import evaluate_wo_velocity, print_metrics
+from ..evaluate import (evaluate_wo_velocity, make_bucketed_runner,
+                        print_metrics)
 from ..utils import summary
 from . import checkpoint as ckpt
-from .loop import TensorboardLogger, tensorboard_log, train_VAT_model
+from .loop import (TensorboardLogger, tensorboard_log, train_VAT_model,
+                   train_model)
 from .prepare import prepare_VAT_dataset
 from .state import (create_train_state, make_eval_step, make_train_step)
 
 
 def _eval_runner(model, state):
-    batch_keys = ("audio", "onset", "offset", "frame", "velocity")
-
-    def runner(item):
-        batch = {k: (np.asarray(v)[None]
-                     if k in batch_keys and np.asarray(v).ndim in (1, 2)
-                     else v)
-                 for k, v in item.items()}
-        p, l, s, _ = model.run_on_batch(state.variables, batch, None,
-                                        jax.random.PRNGKey(0), vat=False,
-                                        train=False)
-        return p, l, s
-
-    return runner
+    """Jitted bucketed full-song runner (falls back to eager exact shapes
+    for models without t_true support — see evaluate.make_bucketed_runner)."""
+    return make_bucketed_runner(model, state.variables)
 
 
 def run_training(model, cfg, datasets=None):
@@ -124,11 +116,21 @@ def run_training(model, cfg, datasets=None):
         cfg.get("train_batch_size", cfg["batch_size"])
         * cfg["sequence_length"] / 16000))
 
+    # supervised baselines sweep the whole loader each epoch (reference
+    # `train_baseline_Thickstun.py:122`, `train_baseline_Prestack.py:129`);
+    # VAT configs keep the 10-iteration loop
+    full_epoch = cfg.get("train_loop", "iteration") == "full_epoch"
+
     for ep in range(1, epoches + 1):
         key, sub = jax.random.split(key)
-        state, losses = train_VAT_model(
-            model, state, train_steps, iteration, ep, l_iter, ul_iter, sub,
-            vat=vat, vat_start=vat_start, timer=timer)
+        if full_epoch:
+            state, losses = train_model(model, state, train_steps[False],
+                                        ep, supervised_loader, sub,
+                                        timer=timer)
+        else:
+            state, losses = train_VAT_model(
+                model, state, train_steps, iteration, ep, l_iter, ul_iter,
+                sub, vat=vat, vat_start=vat_start, timer=timer)
         if cfg.get("profile_epoch") == ep:
             from . import profiler as _prof
 
