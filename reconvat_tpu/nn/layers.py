@@ -19,20 +19,22 @@ class ConvStack(nn.Module):
     """O&F conv trunk: 3 convs + 2 (1,2) freq max-pools + dropout -> FC."""
     input_features: int
     output_features: int
+    dtype: str | None = None   # computation dtype; params/BN stay fp32
 
     def setup(self):
         of = self.output_features
         p = [(1, 1), (1, 1)]
         self.conv0 = nn.Conv(of // 16, (3, 3), padding=p,
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn0 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         self.conv1 = nn.Conv(of // 16, (3, 3), padding=p,
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         self.conv2 = nn.Conv(of // 8, (3, 3), padding=p,
-                             kernel_init=torch_conv_init)
+                             kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn2 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
-        self.fc = nn.Dense(of, kernel_init=torch_conv_init)
+        self.fc = nn.Dense(of, kernel_init=torch_conv_init,
+                           dtype=self.dtype)
         self.drop1 = nn.Dropout(0.25)
         self.drop2 = nn.Dropout(0.25)
         self.drop_fc = nn.Dropout(0.5)
@@ -70,14 +72,21 @@ class BiLSTM(nn.Module):
 
 
 class OnsetStack(nn.Module):
-    """Reference `Onset_Stack` (`model/onset_frame_VAT.py:357-387`)."""
+    """Reference `Onset_Stack` (`model/onset_frame_VAT.py:357-387`).
+
+    dtype applies to the conv trunk only: the BiLSTM recurrence and the
+    output head stay fp32 (the scan is latency-bound, not FLOP-bound, and
+    bf16 error would compound over 640 steps).
+    """
     input_features: int
     model_size: int
     output_features: int
     use_lstm: bool = True
+    dtype: str | None = None
 
     def setup(self):
-        self.convstack = ConvStack(self.input_features, self.model_size)
+        self.convstack = ConvStack(self.input_features, self.model_size,
+                                   dtype=self.dtype)
         if self.use_lstm:
             self.sequence_model = BiLSTM(self.model_size // 2)
         self.linear = nn.Dense(self.output_features,

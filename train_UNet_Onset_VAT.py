@@ -52,6 +52,7 @@ def config():
     validation_length = sequence_length
     refresh = False
     seed = 42
+    compute_dtype = 'bfloat16'  # fp32 params/BN/heads; None = full fp32
 
     logdir = (f"{root}/Unet_Onset-recons={reconstruction}-XI={XI}-eps={eps}"
               f"-alpha={alpha}-train_on=small_{small}_{train_on}"
@@ -62,7 +63,8 @@ def config():
 
 
 @ex.automain
-def train(spec, device, log, reconstruction, XI, eps, KL_Div, **_ignored):
+def train(spec, device, log, reconstruction, XI, eps, KL_Div,
+          compute_dtype, **_ignored):
     if device == "cpu":
         import jax
 
@@ -73,5 +75,6 @@ def train(spec, device, log, reconstruction, XI, eps, KL_Div, **_ignored):
     from reconvat_tpu.train.driver import run_training
 
     model = UNetOnset(log=log, reconstruction=reconstruction, mode=mode,
-                      spec=spec, xi=XI, eps=eps, kl_div=KL_Div)
+                      spec=spec, xi=XI, eps=eps, kl_div=KL_Div,
+                      compute_dtype=compute_dtype)
     return run_training(model, ex.current_run.config)

@@ -51,6 +51,7 @@ def config():
     validation_length = sequence_length
     refresh = False
     seed = 42
+    compute_dtype = 'bfloat16'  # fp32 params/BN/heads; None = full fp32
 
     logdir = (f"{root}/Unet-recons={reconstruction}-XI={XI}-eps={eps}"
               f"-alpha={alpha}-train_on=small_{small}_{train_on}"
@@ -61,7 +62,8 @@ def config():
 
 
 @ex.automain
-def train(spec, device, log, reconstruction, XI, eps, KL_Div, **_ignored):
+def train(spec, device, log, reconstruction, XI, eps, KL_Div,
+          compute_dtype, **_ignored):
     if device == "cpu":
         import jax
 
@@ -72,5 +74,6 @@ def train(spec, device, log, reconstruction, XI, eps, KL_Div, **_ignored):
     from reconvat_tpu.train.driver import run_training
 
     model = ReconVAT(log=log, reconstruction=reconstruction, mode=mode,
-                     spec=spec, xi=XI, eps=eps, kl_div=KL_Div)
+                     spec=spec, xi=XI, eps=eps, kl_div=KL_Div,
+                     compute_dtype=compute_dtype)
     return run_training(model, ex.current_run.config)

@@ -51,6 +51,7 @@ def config():
     validation_length = sequence_length
     refresh = False
     seed = 42
+    compute_dtype = None   # 'bfloat16' = mixed-precision compute
 
     logdir = (f"{root}/VAT_Segmentation={reconstruction}-KL={KL_Div}-XI={XI}"
               f"-eps={eps}-alpha={alpha}-train_on=small_{small}_{train_on}"
@@ -61,7 +62,8 @@ def config():
 
 
 @ex.automain
-def train(spec, device, log, XI, eps, KL_Div, out_class, **_ignored):
+def train(spec, device, log, XI, eps, KL_Div, out_class,
+          compute_dtype, **_ignored):
     if device == "cpu":
         import jax
 
@@ -72,5 +74,6 @@ def train(spec, device, log, XI, eps, KL_Div, out_class, **_ignored):
     from reconvat_tpu.train.driver import run_training
 
     model = SemanticSegmentation(out_class=out_class, log=log, mode=mode,
-                                 spec=spec, xi=XI, eps=eps, kl_div=KL_Div)
+                                 spec=spec, xi=XI, eps=eps, kl_div=KL_Div,
+                                 compute_dtype=compute_dtype)
     return run_training(model, ex.current_run.config)

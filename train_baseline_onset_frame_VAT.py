@@ -53,6 +53,7 @@ def config():
     validation_length = sequence_length
     refresh = False
     seed = 42
+    compute_dtype = None   # 'bfloat16' = mixed-precision conv trunk
 
     logdir = (f"{root}/baseline_Onset_Frame-"
               + datetime.now().strftime("%y%m%d-%H%M%S"))
@@ -62,7 +63,7 @@ def config():
 
 @ex.automain
 def train(spec, device, log, model_name, model_complexity, XI, eps,
-          VAT_mode, **_ignored):
+          VAT_mode, compute_dtype, **_ignored):
     if device == "cpu":
         import jax
 
@@ -75,7 +76,7 @@ def train(spec, device, log, model_name, model_complexity, XI, eps,
     from reconvat_tpu.train.driver import run_training
 
     kwargs = dict(model_complexity=model_complexity, log=log, mode=mode,
-                  spec=spec, xi=XI, eps=eps)
+                  spec=spec, xi=XI, eps=eps, compute_dtype=compute_dtype)
     if model_name == "onset_frame":
         model = OnsetsAndFrames(**kwargs)
     elif model_name == "frame":
