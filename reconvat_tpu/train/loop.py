@@ -51,7 +51,8 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
     return state, losses
 
 
-def train_model(model, state, train_step, ep, loader, key, verbose=True):
+def train_model(model, state, train_step, ep, loader, key, verbose=True,
+                timer=None):
     """Full-epoch supervised sweep over a loader (reference `train_model`,
     `model/helper_functions.py:542-568`). Returns (state, losses)."""
     total_loss = 0.0
@@ -61,6 +62,8 @@ def train_model(model, state, train_step, ep, loader, key, verbose=True):
         key, sub = jax.random.split(key)
         b = device_batch(batch)
         state, losses = train_step(state, b, b, sub)
+        if timer is not None:
+            timer.tick()
         total_loss += float(total_loss_from_dict(losses, 1.0))
         n += 1
         if verbose:

@@ -51,6 +51,10 @@ def config():
     validation_length = sequence_length
     refresh = False
     seed = 42
+    # reference protocol: full-epoch supervised sweeps, not the
+    # 10-iteration VAT loop (`train_baseline_Thickstun.py:122`)
+    train_loop = "full_epoch"
+    compute_dtype = None   # 'bfloat16' = mixed-precision compute
 
     logdir = (f"{root}/baseline_Prestack-train_on={train_on}"
               f"-lr={learning_rate}-"
@@ -60,7 +64,7 @@ def config():
 
 
 @ex.automain
-def train(spec, device, log, **_ignored):
+def train(spec, device, log, compute_dtype, **_ignored):
     if device == "cpu":
         import jax
 
@@ -70,5 +74,6 @@ def train(spec, device, log, **_ignored):
     from reconvat_tpu.models.prestack import Prestack
     from reconvat_tpu.train.driver import run_training
 
-    model = Prestack(log=log, mode=mode, spec=spec)
+    model = Prestack(log=log, mode=mode, spec=spec,
+                  compute_dtype=compute_dtype)
     return run_training(model, ex.current_run.config)

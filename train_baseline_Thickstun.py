@@ -50,6 +50,10 @@ def config():
     validation_length = sequence_length
     refresh = False
     seed = 42
+    # reference protocol: full-epoch supervised sweeps, not the
+    # 10-iteration VAT loop (`train_baseline_Thickstun.py:122`)
+    train_loop = "full_epoch"
+    compute_dtype = None   # 'bfloat16' = mixed-precision compute
 
     logdir = (f"{root}/baseline_Thickstun-train_on={train_on}"
               f"-lr={learning_rate}-"
@@ -59,7 +63,7 @@ def config():
 
 
 @ex.automain
-def train(spec, device, log, **_ignored):
+def train(spec, device, log, compute_dtype, **_ignored):
     if device == "cpu":
         import jax
 
@@ -69,5 +73,6 @@ def train(spec, device, log, **_ignored):
     from reconvat_tpu.models.thickstun import Thickstun
     from reconvat_tpu.train.driver import run_training
 
-    model = Thickstun(log=log, mode=mode, spec=spec)
+    model = Thickstun(log=log, mode=mode, spec=spec,
+                  compute_dtype=compute_dtype)
     return run_training(model, ex.current_run.config)
