@@ -1,20 +1,25 @@
-"""Device-mesh parallelism: data parallel + sequence (context) parallel.
+"""Device-mesh parallelism: data parallel + sequence (context) parallel,
+single-host (ICI) or multi-host (DCN).
 
 The reference is strictly single-device (SURVEY §2.5 — no DP/TP/PP/SP and no
 communication backend). Here parallelism is a first-class design:
 
-* mesh axes: 'dp' (batch) x 'sp' (posteriogram time axis);
-* inputs are sharded batch-over-dp, time-over-sp; parameters replicated;
-* XLA GSPMD inserts the collectives — gradient psum over 'dp' rides ICI,
-  conv/attention halo exchanges over 'sp' come from spatial partitioning
-  (the window-31 local attention needs only a 15-frame halo, so SP scales
-  full-song transcription nearly linearly);
+* mesh axes: optional 'dcn' (hosts) x 'dp' (batch) x 'sp' (posteriogram
+  time axis); batch shards over ('dcn', 'dp'), so in a multi-host run only
+  the gradient all-reduce crosses DCN — activations never leave a host;
+* inputs are sharded batch-over-(dcn,dp), time-over-sp; params replicated;
+* XLA GSPMD inserts the collectives — gradient psum over 'dp' rides ICI
+  (and its 'dcn' leg the data-center network), conv/attention halo
+  exchanges over 'sp' come from spatial partitioning (the window-31 local
+  attention needs only a 15-frame halo, so SP scales full-song
+  transcription nearly linearly);
 * TP/PP/EP are intentionally out of scope at <2M-30M params (SURVEY §2.5):
   a tensor-parallel split of a 916-wide attention would ship more bytes
   over ICI than it saves in FLOP time.
 
 `spec_constraint` is called inside the models' `make_spec`, so the same
-model code runs single-chip (no-op) or under a mesh (sharded).
+model code runs single-chip (no-op), under a single-host mesh (sharded), or
+across hosts (`jax.distributed` — see `parallel/distributed.py`).
 """
 from __future__ import annotations
 
@@ -30,11 +35,17 @@ _ACTIVE: Optional["MeshContext"] = None
 
 class MeshContext:
     def __init__(self, mesh: Mesh, batch_axis: str = "dp",
-                 time_axis: str = "sp"):
+                 time_axis: str = "sp", dcn_axis: str = "dcn"):
         self.mesh = mesh
-        self.batch_axis = batch_axis if batch_axis in mesh.axis_names \
-            else None
         self.time_axis = time_axis if time_axis in mesh.axis_names else None
+        dp = batch_axis if batch_axis in mesh.axis_names else None
+        if dcn_axis in mesh.axis_names:
+            # batch dimension shards over hosts first, then local devices
+            self.batch_axis = (dcn_axis, dp) if dp else dcn_axis
+        else:
+            self.batch_axis = dp
+        self.multihost = any(d.process_index != jax.process_index()
+                             for d in mesh.devices.flat)
 
     def sharding(self, *axes):
         return NamedSharding(self.mesh, P(*axes))
@@ -49,6 +60,24 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     assert dp * sp == n, f"dp({dp}) * sp({sp}) != devices({n})"
     arr = np.asarray(devices[:n]).reshape(dp, sp)
     return Mesh(arr, ("dp", "sp"))
+
+
+def make_multihost_mesh(dp: Optional[int] = None, sp: int = 1) -> Mesh:
+    """(dcn, dp, sp) mesh: dcn = one slice per process (DCN-connected),
+    dp x sp = each process's local devices (ICI-connected). Requires
+    `jax.distributed.initialize` to have run (parallel/distributed.py)."""
+    n_proc = jax.process_count()
+    n_local = jax.local_device_count()
+    if dp is None:
+        dp = n_local // sp
+    assert dp * sp == n_local, \
+        f"dp({dp}) * sp({sp}) != local devices({n_local})"
+    # process-major ordering keeps each (dp, sp) plane on one host, so only
+    # the dcn axis (gradient psum) crosses the data-center network
+    devices = sorted(jax.devices(),
+                     key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devices).reshape(n_proc, dp, sp)
+    return Mesh(arr, ("dcn", "dp", "sp"))
 
 
 @contextlib.contextmanager
@@ -76,10 +105,16 @@ def spec_constraint(x):
 
 
 def shard_batch(batch: dict, ctx: MeshContext) -> dict:
-    """Place a host batch on the mesh: batch axis over dp, time over sp
-    where a time axis exists (labels); raw audio is batch-sharded only (the
-    frontend's framing gather would need halo samples — cheaper to let
-    GSPMD handle it after the spec constraint)."""
+    """Place a host batch on the mesh: batch axis over (dcn,)dp, time over
+    sp where a time axis exists (labels); raw audio is batch-sharded only
+    (the frontend's framing gather would need halo samples — cheaper to let
+    GSPMD handle it after the spec constraint).
+
+    Under a multi-host mesh, `batch` is this process's LOCAL portion of the
+    global batch (each host loads its own shard); the global array is
+    assembled with `jax.make_array_from_process_local_data`.
+    """
+    n_proc = jax.process_count() if ctx.multihost else 1
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
@@ -88,10 +123,18 @@ def shard_batch(batch: dict, ctx: MeshContext) -> dict:
                               *([None] * (v.ndim - 2)))
         else:
             sh = ctx.sharding(ctx.batch_axis, *([None] * (v.ndim - 1)))
-        out[k] = jax.device_put(v, sh)
+        if ctx.multihost:
+            gshape = (v.shape[0] * n_proc,) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(sh, v, gshape)
+        else:
+            out[k] = jax.device_put(v, sh)
     return out
 
 
 def replicate(tree, ctx: MeshContext):
+    """Replicate a (host-identical) pytree over every mesh device. In a
+    multi-host mesh this relies on all processes holding the same values
+    (same init seed / restored checkpoint)."""
     sh = ctx.sharding()  # fully replicated
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), sh), tree)

@@ -1,0 +1,67 @@
+"""Multi-host (DCN) data parallelism: a 2-process CPU jax.distributed
+cluster must reproduce single-process math.
+
+VERDICT #3 "done" criterion: gradients all-reduce across processes and the
+updated parameters match the single-process result on the same global
+batch. Each process runs 4 virtual CPU devices; the cluster trains on a
+(dcn=2, dp=2, sp=2) mesh, the baseline on a single-process (dp=4, sp=2)
+mesh. Cross-process collectives ride Gloo (the CPU stand-in for DCN).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_worker(proc, nproc, port, out):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "JAX_NUM_CPU_DEVICES")}
+    return subprocess.Popen(
+        [sys.executable, "-m", "tests.multihost_worker",
+         str(proc), str(nproc), str(port), out],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process(tmp_path):
+    out_multi = str(tmp_path / "multi.json")
+    out_single = str(tmp_path / "single.json")
+
+    port = _free_port()
+    procs = [_run_worker(i, 2, port, out_multi) for i in range(2)]
+    logs = [p.communicate(timeout=1500)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    p = _run_worker(0, 1, 0, out_single)
+    log = p.communicate(timeout=1500)[0]
+    assert p.returncode == 0, log[-3000:]
+
+    multi = json.load(open(out_multi))
+    single = json.load(open(out_single))
+
+    assert multi["n_global_devices"] == 8
+    assert set(multi["losses"]) == set(single["losses"])
+    for k in single["losses"]:
+        np.testing.assert_allclose(multi["losses"][k], single["losses"][k],
+                                   rtol=3e-3, atol=1e-5, err_msg=k)
+    # the post-update parameter fingerprint proves the gradient all-reduce
+    # crossed processes correctly (any missing shard would shift it)
+    np.testing.assert_allclose(multi["fingerprint"], single["fingerprint"],
+                               rtol=1e-4)
