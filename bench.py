@@ -66,7 +66,10 @@ def main():
     pow2 = jnp.asarray(2 ** np.arange(8), jnp.uint8)
 
     @jax.jit
-    def forward(variables, audio):
+    def forward(variables, audio_i16):
+        # int16 -> float/32768 on device, exactly like the data pipeline
+        # stores audio (`data/datasets.py`); H2D moves half the bytes
+        audio = audio_i16.astype(jnp.float32) / 32768.0
         preds = model.transcribe(variables, audio)
         bits = (preds["frame"] > 0.5).astype(jnp.uint8)   # (B, T, 88)
         bits = jnp.pad(bits, ((0, 0), (0, 0), (0, 96 - 88)))
@@ -78,21 +81,24 @@ def main():
         bits = np.unpackbits(packed, axis=-1, bitorder="little")
         return bits.reshape(*packed.shape[:2], 96)[..., :88]
 
+    # fresh host batches uploaded every iteration: the H2D transfer is part
+    # of the measured loop (a distinct batch per iteration, rotated)
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     rng = np.random.RandomState(0)
-    audio = (rng.randn(batch, samples) * 0.1).astype(np.float32)
-    audio_dev = jax.device_put(audio)
+    host_batches = [(rng.randn(batch, samples) * 3276.8).astype(np.int16)
+                    for _ in range(min(iters, 8))]
 
     # warmup / compile
-    roll = forward(variables, audio_dev)
+    roll = forward(variables, jax.device_put(host_batches[0]))
     roll.block_until_ready()
 
-    iters = int(os.environ.get("BENCH_ITERS", 20))
     t0 = time.perf_counter()
-    # software pipeline: device forward i+1 is in flight while the host
-    # decodes batch i (jax dispatch is async; np.asarray is the sync point)
-    pending = forward(variables, audio_dev)
-    for _ in range(iters - 1):
-        nxt = forward(variables, audio_dev)
+    # software pipeline: upload + device forward i+1 are in flight while
+    # the host decodes batch i (jax dispatch is async; np.asarray syncs)
+    pending = forward(variables, jax.device_put(host_batches[0]))
+    for i in range(1, iters):
+        nxt = forward(variables,
+                      jax.device_put(host_batches[i % len(host_batches)]))
         roll_host = unpack(np.asarray(pending))
         for b in range(batch):
             decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
@@ -107,10 +113,14 @@ def main():
     realtime = audio_seconds_per_batch * iters / dt
     result = {
         "metric": "audio-seconds transcribed/sec/chip (ReconVAT, incl. "
-                  "mel frontend + reconstruction chain + host note decode)",
+                  "H2D int16 audio upload + mel frontend + reconstruction "
+                  "chain + host note decode)",
         "value": round(realtime, 2),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(realtime / 50.0, 3),
+        "input": "fresh int16 noise batches uploaded per iteration; output "
+                 "head biased to trained-model roll sparsity (~2%) for a "
+                 "realistic host-decode load",
     }
     print(json.dumps(result))
 
