@@ -42,15 +42,26 @@ def main():
     # Random init makes every sigmoid hover around 0.5, i.e. a posteriogram
     # that is ~50% "active" — two orders of magnitude denser than any
     # trained transcriber output, which makes host decode the artificial
-    # bottleneck. Bias the output head so the roll has trained-model-like
-    # sparsity (~2% active) while keeping full device compute.
+    # bottleneck. Shift the output-head bias so that ~2% of bins clear the
+    # 0.5 threshold (trained-model sparsity), calibrated from the actual
+    # posteriogram distribution, while keeping full device compute.
     import jax as _jax
+
+    def _calibrated_bias(variables):
+        probe = np.random.RandomState(1).randn(4, samples) * 0.1
+        p = np.asarray(model.transcribe(
+            variables, _jax.numpy.asarray(probe.astype(np.float32)))["frame"],
+            np.float32)
+        q98 = np.clip(np.quantile(p, 0.98), 1e-4, 1 - 1e-4)
+        return float(np.log(q98 / (1 - q98)))   # logit of the 98th pctile
+
+    shift = _calibrated_bias(variables)
 
     def _bias_head(params):
         params = _jax.tree_util.tree_map(np.asarray, dict(params))
         for sub in ("transcriber",):
             lin = params[sub]["linear1"]
-            lin["bias"] = lin["bias"] - 2.0
+            lin["bias"] = lin["bias"] - shift
         return params
 
     variables = {**variables, "params": _bias_head(variables["params"])}
@@ -91,36 +102,59 @@ def main():
     # warmup / compile
     roll = forward(variables, jax.device_put(host_batches[0]))
     roll.block_until_ready()
+    density = float(unpack(np.asarray(roll)).mean())
 
-    t0 = time.perf_counter()
-    # software pipeline: upload + device forward i+1 are in flight while
-    # the host decodes batch i (jax dispatch is async; np.asarray syncs)
-    pending = forward(variables, jax.device_put(host_batches[0]))
-    for i in range(1, iters):
-        nxt = forward(variables,
-                      jax.device_put(host_batches[i % len(host_batches)]))
-        roll_host = unpack(np.asarray(pending))
+    def _decode_batch(packed):
+        roll_host = unpack(packed)
         for b in range(batch):
             decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
                                              rule="rule2")
-        pending = nxt
-    roll_host = unpack(np.asarray(pending))
-    for b in range(batch):
-        decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
-                                         rule="rule2")
-    dt = time.perf_counter() - t0
 
-    realtime = audio_seconds_per_batch * iters / dt
+    # regime 1: audio pre-staged on device (what a production host's DMA
+    # makes of the H2D cost — 21 MB over PCIe is ~2 ms). Software
+    # pipeline: device forward i+1 is in flight while the host fetches and
+    # decodes batch i.
+    staged = [jax.device_put(b) for b in host_batches]
+    jax.block_until_ready(staged)
+    t0 = time.perf_counter()
+    pending = forward(variables, staged[0])
+    for i in range(1, iters):
+        nxt = forward(variables, staged[i % len(staged)])
+        _decode_batch(np.asarray(pending))
+        pending = nxt
+    _decode_batch(np.asarray(pending))
+    resident = audio_seconds_per_batch * iters / (time.perf_counter() - t0)
+
+    # regime 2: fresh int16 upload inside the timed loop, stepped
+    # synchronously — the dev relay serializes pathologically when async
+    # executions with different in-loop-uploaded buffers overlap
+    # (~500 ms/iter vs ~60 ms stepped), and its H2D throughput decays to
+    # ~22 MB/s after large executions (1+ GB/s in a fresh process). That
+    # tunnel, not the chip or this framework, bounds this number at
+    # ~0.03 MB per audio-second.
+    t0 = time.perf_counter()
+    for i in range(iters):
+        buf = jax.device_put(host_batches[i % len(host_batches)])
+        buf.block_until_ready()
+        _decode_batch(np.asarray(forward(variables, buf)))
+    e2e = audio_seconds_per_batch * iters / (time.perf_counter() - t0)
+
     result = {
-        "metric": "audio-seconds transcribed/sec/chip (ReconVAT, incl. "
-                  "H2D int16 audio upload + mel frontend + reconstruction "
-                  "chain + host note decode)",
-        "value": round(realtime, 2),
+        "metric": "audio-seconds transcribed/sec/chip (ReconVAT: mel "
+                  "frontend + UNet + reconstruction chain + D2H + host "
+                  "note decode; H2D int16 audio upload in the timed loop)",
+        "value": round(e2e, 2),
         "unit": "audio_s/s/chip",
-        "vs_baseline": round(realtime / 50.0, 3),
+        "vs_baseline": round(e2e / 50.0, 3),
+        "value_resident_input": round(resident, 2),
+        "roll_density": round(density, 4),
         "input": "fresh int16 noise batches uploaded per iteration; output "
-                 "head biased to trained-model roll sparsity (~2%) for a "
+                 "head biased toward trained-model roll sparsity for a "
                  "realistic host-decode load",
+        "note": "value is H2D-bound by the dev harness's remote-TPU relay "
+                "(~22 MB/s after large executions vs 1+ GB/s fresh); on a "
+                "production host (PCIe DMA) value converges to "
+                "value_resident_input",
     }
     print(json.dumps(result))
 
