@@ -1,5 +1,5 @@
 """Frontend surface completeness: MFCC, Gammatonegram, DFT, iSTFT,
-Griffin-Lim, CQT2010v2.
+Griffin-Lim, CQT1992, CQT2010, CQT2010v2.
 
 None of these are reachable from the reference's shipped entry points
 (SURVEY §2.1 "other frontend classes"), but they are part of the vendored
@@ -215,6 +215,207 @@ class GriffinLim:
             angles = update / jnp.maximum(jnp.abs(update), 1e-16)
         return self.istft(jnp.real(magnitude * angles),
                           jnp.imag(magnitude * angles), length=length)
+
+
+class CQT1992:
+    """Frequency-domain CQT (Brown & Puckette 1992), the legacy v1 class
+    (reference `model/Spectrogram.py:712-931`).
+
+    Unlike `CQT1992v2` (direct time-domain convolution against complex CQT
+    kernels), the 1992 algorithm takes one large unwindowed DFT per hop and
+    multiplies it with the FFT'd CQT kernels, keeping only the positive
+    half-spectrum. With `complex_mul` + the reference's `(re, -im)` stacking
+    this reduces to `conj(fft(kernels)) @ rfft(frame)` — we compute the
+    frame DFT with `jnp.fft.rfft` (an O(kw log kw) XLA FFT instead of the
+    reference's O(kw^2) conv against explicit sin/cos kernels, which at
+    kernel widths of 2^15 would be a 0.5-GFLOP matmul per frame).
+    """
+
+    def __init__(self, sr=22050, hop_length=512, fmin=220, fmax=None,
+                 n_bins=84, bins_per_octave=12, norm=1, window="hann",
+                 center=True, pad_mode="reflect"):
+        self.hop_length = hop_length
+        self.center = center
+        self.pad_mode = pad_mode
+        self.norm = norm
+
+        q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+        if fmax is not None:
+            # reference create_cqt_kernels: fmax overrides n_bins
+            n_bins = int(np.ceil(bins_per_octave * np.log2(fmax / fmin)))
+        kernels, self.kernel_width, lengths = fb.cqt_kernels(
+            q, sr, fmin, n_bins, bins_per_octave, norm, window)
+        # conj(fft(kernels)) over the positive half-spectrum; transposed
+        # for right-multiplying (B, T, bins) rfft frames
+        spec = np.fft.fft(kernels, axis=1)[:, :self.kernel_width // 2 + 1]
+        self.kernel_spec = jnp.asarray(np.conj(spec).T.astype(np.complex64))
+        self.sqrt_lengths = jnp.asarray(np.sqrt(lengths))
+        self.n_bins = n_bins
+
+    def _complex(self, x):
+        """(B, L) -> (B, T, n_bins) complex CQT."""
+        if self.center:
+            pad = self.kernel_width // 2
+            if self.pad_mode == "reflect":
+                x = reflect_pad(x, pad)
+            else:
+                x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+        frames = _frame(x, self.kernel_width, self.hop_length)
+        X = jnp.fft.rfft(frames, axis=-1)
+        out = jnp.matmul(X, self.kernel_spec)
+        if self.norm:
+            out = out / self.kernel_width * self.sqrt_lengths
+        else:
+            out = out * self.sqrt_lengths
+        return out
+
+    def __call__(self, x, output_format="Magnitude"):
+        out = self._complex(x)
+        if output_format == "Magnitude":
+            return jnp.abs(out)
+        if output_format == "Complex":
+            return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
+        if output_format == "Phase":
+            ang = jnp.angle(out)
+            return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        raise ValueError(output_format)
+
+
+def _firwin2_lowpass(band_center: float, kernel_length: int = 256,
+                     transition_bandwidth: float = 0.03) -> np.ndarray:
+    """nnAudio's `create_lowpass_filter`: firwin2 with unit gain up to
+    band_center/(1+tb) and zero gain from band_center*(1+tb)."""
+    import scipy.signal
+
+    passband_max = band_center / (1 + transition_bandwidth)
+    stopband_min = band_center * (1 + transition_bandwidth)
+    taps = scipy.signal.firwin2(kernel_length,
+                                [0.0, passband_max, stopband_min, 1.0],
+                                [1.0, 1.0, 0.0, 0.0])
+    return taps.astype(np.float32)
+
+
+class CQT2010:
+    """Multi-octave frequency-domain CQT (Schoerkhuber & Klapuri 2010), the
+    legacy v1 class (reference `model/Spectrogram.py:932-1161`): top-octave
+    frequency-domain kernels reused across octaves with successive x2
+    decimation, plus optional early downsampling when the top octave sits
+    far below Nyquist.
+
+    Reference bug (not replicated): the vendored snapshot's forward passes
+    the raw DFT kernels `wcos/wsin` to `get_cqt_complex`
+    (`model/Spectrogram.py:1123-1129`), which just convolves with whatever
+    kernels it is given — so the frequency-domain CQT basis it constructs
+    (`model/Spectrogram.py:1055-1057`) is never applied and the output rows
+    are linear-frequency DFT bins. We implement the published algorithm
+    (upstream nnAudio's `get_cqt`): per-octave DFT followed by the
+    half-spectrum kernel multiply, exactly as in `CQT1992` above.
+    """
+
+    def __init__(self, sr=22050, hop_length=512, fmin=32.70, fmax=None,
+                 n_bins=84, bins_per_octave=12, norm=True, basis_norm=1,
+                 window="hann", pad_mode="reflect", earlydownsample=True):
+        self.pad_mode = pad_mode
+        self.n_bins = n_bins
+        self.norm = norm
+
+        q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+        self.n_octaves = int(np.ceil(n_bins / bins_per_octave))
+        n_filters = min(bins_per_octave, n_bins)
+
+        # top-octave frequency range (reference `model/Spectrogram.py:994-1008`)
+        fmin_t = fmin * 2.0 ** (self.n_octaves - 1)
+        remainder = n_bins % bins_per_octave
+        if remainder == 0:
+            fmax_t = fmin_t * 2.0 ** ((bins_per_octave - 1)
+                                      / bins_per_octave)
+        else:
+            fmax_t = fmin_t * 2.0 ** ((remainder - 1) / bins_per_octave)
+        fmin_t = fmax_t / 2.0 ** (1 - 1.0 / bins_per_octave)
+        if fmax_t > sr / 2:
+            raise ValueError("top CQT bin exceeds Nyquist; reduce n_bins")
+
+        # early downsampling (reference get_early_downsample_params)
+        self.early_factor = 1
+        self.early_filter = None
+        if earlydownsample:
+            window_bandwidth = 1.5
+            filter_cutoff = fmax_t * (1 + 0.5 * window_bandwidth / q)
+            nyquist = sr // 2
+            c1 = max(0, int(np.ceil(np.log2(0.85 * nyquist / filter_cutoff))
+                            - 1) - 2)
+            num_twos = int(np.ceil(np.log2(hop_length)))
+            c2 = max(0, num_twos - self.n_octaves + 1)
+            count = min(c1, c2)
+            if count > 0:
+                self.early_factor = 2 ** count
+                hop_length //= self.early_factor
+                sr = sr / float(self.early_factor)
+                self.early_filter = jnp.asarray(_firwin2_lowpass(
+                    1.0 / self.early_factor, 256, 0.03)[None, None, :])
+        self.hop_length = hop_length
+
+        kernels, self.n_fft, _ = fb.cqt_kernels(
+            q, sr, fmin_t, n_filters, bins_per_octave, basis_norm, window)
+        spec = np.fft.fft(kernels, axis=1)[:, :self.n_fft // 2 + 1]
+        self.kernel_spec = jnp.asarray(np.conj(spec).T.astype(np.complex64))
+
+        freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+        self.sqrt_lengths = jnp.asarray(
+            np.sqrt(np.ceil(q * sr / freqs)).astype(np.float32))
+
+        # x2 decimation lowpass (reference uses transitionBandwidth=0.001)
+        self.lowpass = jnp.asarray(
+            _firwin2_lowpass(0.5, 256, 0.001)[None, None, :])
+
+    def _downsample(self, x, taps, stride):
+        pad = (taps.shape[-1] - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+        return jax.lax.conv_general_dilated(
+            xp, taps, window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"))
+
+    def _octave(self, x, hop):
+        """Frequency-domain top-octave CQT of (B, L) at the given hop."""
+        pad = self.n_fft // 2
+        if self.pad_mode == "reflect":
+            x = reflect_pad(x, pad)
+        else:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+        frames = _frame(x, self.n_fft, hop)
+        X = jnp.fft.rfft(frames, axis=-1)
+        return jnp.matmul(X, self.kernel_spec)     # (B, T, n_filters)
+
+    def __call__(self, x, output_format="Magnitude"):
+        """(B, L) -> (B, T, n_bins)."""
+        if self.early_filter is not None:
+            x = self._downsample(x[:, None, :], self.early_filter,
+                                 self.early_factor)[:, 0]
+        hop = self.hop_length
+        octaves = [self._octave(x, hop)]           # top octave first
+        sig = x[:, None, :]
+        for _ in range(self.n_octaves - 1):
+            assert hop % 2 == 0, \
+                "hop_length must be divisible by 2**n_octaves"
+            hop //= 2
+            sig = self._downsample(sig, self.lowpass, 2)
+            octaves.append(self._octave(sig[:, 0], hop))
+
+        t_min = min(o.shape[1] for o in octaves)
+        # low -> high frequency; drop excess bottom bins
+        full = jnp.concatenate([o[:, :t_min] for o in octaves[::-1]],
+                               axis=2)
+        full = full[:, :, full.shape[2] - self.n_bins:]
+        if self.norm:
+            full = full / self.n_fft * self.sqrt_lengths
+        else:
+            full = full * self.sqrt_lengths
+        full = full * self.early_factor
+        if output_format == "Magnitude":
+            return jnp.abs(full)
+        if output_format == "Complex":
+            return jnp.stack([jnp.real(full), jnp.imag(full)], axis=-1)
+        raise ValueError(output_format)
 
 
 class CQT2010v2:

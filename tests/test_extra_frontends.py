@@ -110,3 +110,75 @@ def test_cfp_shapes():
     z = f(x)
     assert z.shape == (1, 62, n)
     assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_cqt1992_v1_matches_conv_formulation_oracle():
+    """CQT1992 (v1) vs an independent numpy oracle that follows the
+    reference formulation literally (`model/Spectrogram.py:896-919`):
+    explicit sin/cos DFT matmuls at hop stride, `complex_mul` with the
+    FFT'd CQT kernels, `(re, -im)` stacking, /kernel_width*sqrt(lengths)."""
+    sr, hop, n_bins, fmin, bpo = 16000, 512, 48, 110.0, 12
+    x = _tone(n=16384, freq=440.0)
+
+    ours = xf.CQT1992(sr=sr, hop_length=hop, fmin=fmin, n_bins=n_bins,
+                      bins_per_octave=bpo)
+    got = np.asarray(ours(jnp.asarray(x)))
+
+    q = 1.0 / (2.0 ** (1.0 / bpo) - 1.0)
+    kernels, kw, lengths = fb.cqt_kernels(q, sr, fmin, n_bins, bpo, 1,
+                                          "hann")
+    spec = np.fft.fft(kernels, axis=1)[:, :kw // 2 + 1]
+    kr, ki = spec.real, spec.imag
+
+    pad = kw // 2
+    xp = np.pad(x[0], pad, mode="reflect")
+    n_frames = (len(xp) - kw) // hop + 1
+    n = np.arange(kw)
+    f = np.arange(kw // 2 + 1)
+    wcos = np.cos(2 * np.pi * f[:, None] * n[None, :] / kw)
+    wsin = np.sin(2 * np.pi * f[:, None] * n[None, :] / kw)
+    mags = np.zeros((n_frames, n_bins), np.float64)
+    for t in range(n_frames):
+        frame = xp[t * hop:t * hop + kw]
+        fourier_real = wcos @ frame
+        fourier_imag = wsin @ frame
+        cqt_real = kr @ fourier_real - ki @ fourier_imag
+        cqt_imag = kr @ fourier_imag + ki @ fourier_real
+        re = cqt_real / kw * np.sqrt(lengths)
+        im = -cqt_imag / kw * np.sqrt(lengths)
+        mags[t] = np.sqrt(re * re + im * im)
+
+    assert got.shape == (1, n_frames, n_bins)
+    np.testing.assert_allclose(got[0], mags, rtol=1e-3, atol=1e-6)
+
+
+def test_cqt1992_v1_close_to_v2():
+    """Half-spectrum frequency-domain CQT approximates the direct
+    time-domain CQT (the kernels are near-analytic)."""
+    kw = dict(sr=16000, hop_length=512, n_bins=84, fmin=32.70,
+              bins_per_octave=12)
+    x = _tone(n=65536, freq=440.0)
+    v1 = np.asarray(xf.CQT1992(**kw)(jnp.asarray(x)))
+    v2 = np.asarray(CQT1992v2(**kw)(jnp.asarray(x)))
+    T = min(v1.shape[1], v2.shape[1])
+    a, b = v1[:, :T], v2[:, :T]
+    assert abs(int(a[0, T // 2].argmax()) - int(b[0, T // 2].argmax())) <= 1
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+@pytest.mark.slow
+def test_cqt2010_v1_close_to_direct():
+    """Multi-octave frequency-domain CQT (published 2010 algorithm; the
+    vendored reference forward is buggy — see class docstring)."""
+    x = _tone(n=65536, freq=440.0)
+    kw = dict(sr=16000, hop_length=512, n_bins=84, fmin=32.70,
+              bins_per_octave=12)
+    direct = np.asarray(CQT1992v2(**kw)(jnp.asarray(x)))
+    multi = np.asarray(xf.CQT2010(**kw)(jnp.asarray(x)))
+    assert multi.shape[-1] == 84
+    T = min(direct.shape[1], multi.shape[1])
+    d, m = direct[:, :T], multi[:, :T]
+    assert abs(int(d[0, T // 2].argmax()) - int(m[0, T // 2].argmax())) <= 1
+    corr = np.corrcoef(d.ravel(), m.ravel())[0, 1]
+    assert corr > 0.95, corr
