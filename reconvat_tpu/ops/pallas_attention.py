@@ -6,12 +6,18 @@ path (nn/attention.py) materializes halo-extended context blocks in HBM and
 lets XLA schedule five separate stages; this kernel keeps one
 (batch*head, time-block) tile entirely in VMEM: the context K/V slices are
 DMA'd in (they overlap between blocks, which BlockSpec tiling cannot
-express), then scores = q @ k_ctx^T, relative-position band bias, band
-mask, streaming softmax, and probs @ v_ctx run back-to-back on the
-MXU/VPU with no HBM round trips.
+express), then scores = q @ k_ctx^T, the skewed relative-position band bias
+(one strided-rotate, `pltpu.roll`), band mask, softmax, and probs @ v_ctx
+run back-to-back on the MXU/VPU with no HBM round trips.
+
+Layout: heads live in the lane dimension — (B, T, H*Dp) with each head
+padded to a 128-lane multiple. Kernel blocks slice one head's lanes
+directly, so the wrapper does no (B,T,H,D) -> (B*H,T,D) transpose; the pad
+to Dp and the final slice fuse into the neighbouring XLA ops.
 
 Forward-only: training wraps it in a custom VJP (nn/attention.py) whose
-backward differentiates the mathematically identical XLA formulation.
+backward either runs the fused Pallas backward (ops/pallas_attention_bwd)
+or differentiates the mathematically identical XLA formulation.
 
 Feature/window/context dims are zero-padded to lane multiples; zero
 padding is an exact no-op for every dot product involved.
@@ -30,18 +36,40 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _skew_bias(qrel, block, ctx_pad):
+    """bias[q, q + j] = qrel[q, j]: skew row q right by q positions via the
+    strided rotate (one data-movement op instead of a window-iteration
+    select loop). qrel columns >= window are exactly zero (rel is
+    zero-padded to Wp), and block + window - 1 <= ctx_pad guarantees no
+    circular wrap onto live columns."""
+    wp = qrel.shape[1]
+    if ctx_pad > wp:
+        qrel_wide = jnp.concatenate(
+            [qrel, jnp.zeros((block, ctx_pad - wp), jnp.float32)], axis=1)
+    else:
+        # ctx_pad >= ctx >= window, so lanes beyond ctx_pad are all zero;
+        # Mosaic rejects zero-size concat operands
+        qrel_wide = qrel[:, :ctx_pad]
+    return pltpu.roll(qrel_wide, shift=0, axis=1, stride=1, stride_axis=0)
+
+
 def _attention_kernel(q_ref, k_hbm, v_hbm, rel_ref, o_ref,
                       k_vmem, v_vmem, sems, *,
-                      block: int, window: int, ctx_pad: int,
-                      precision):
+                      block: int, window: int, ctx_pad: int, n_heads: int,
+                      dp: int, precision):
     g = pl.program_id(0)
     i = pl.program_id(1)
+    b = g // n_heads
+    h = g % n_heads
     start = pl.multiple_of(i * block, block)
+    lane0 = pl.multiple_of(h * dp, dp)
 
     copy_k = pltpu.make_async_copy(
-        k_hbm.at[g, pl.ds(start, ctx_pad), :], k_vmem, sems.at[0])
+        k_hbm.at[b, pl.ds(start, ctx_pad), pl.ds(lane0, dp)], k_vmem,
+        sems.at[0])
     copy_v = pltpu.make_async_copy(
-        v_hbm.at[g, pl.ds(start, ctx_pad), :], v_vmem, sems.at[1])
+        v_hbm.at[b, pl.ds(start, ctx_pad), pl.ds(lane0, dp)], v_vmem,
+        sems.at[1])
     copy_k.start()
     copy_v.start()
 
@@ -63,10 +91,7 @@ def _attention_kernel(q_ref, k_hbm, v_hbm, rel_ref, o_ref,
     offs = cols - rows
     in_band = (offs >= 0) & (offs < window)
 
-    bias = jnp.zeros((block, ctx_pad), jnp.float32)
-    for j in range(window):
-        bias = bias + jnp.where(offs == j, qrel[:, j:j + 1], 0.0)
-
+    bias = _skew_bias(qrel, block, ctx_pad)
     scores = jnp.where(in_band, scores + bias, -jnp.inf)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -78,6 +103,14 @@ def _attention_kernel(q_ref, k_hbm, v_hbm, rel_ref, o_ref,
         probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)
+
+
+def _flatten_heads(x, length, Dh, Dp, dtype):
+    """(B, T, H, Dh) -> (B, length, H*Dp): pad time + per-head lanes. The
+    reshape is free (contiguous) and the pads fuse into the producer."""
+    B, T, H, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, length - T), (0, 0), (0, Dp - Dh)))
+    return x.reshape(B, length, H * Dp).astype(dtype)
 
 
 def pallas_banded_forward(q, kpad, vpad, rel, window: int,
@@ -97,15 +130,9 @@ def pallas_banded_forward(q, kpad, vpad, rel, window: int,
 
     dtype = q.dtype  # bf16 in mixed-precision mode; accumulation stays f32
 
-    def fold(x, length):
-        x = jnp.pad(x, ((0, 0), (0, length - x.shape[1]), (0, 0),
-                        (0, Dp - Dh)))
-        return (x.transpose(0, 2, 1, 3).reshape(B * H, length, Dp)
-                .astype(dtype))
-
-    qf = fold(q, Lp)
-    kf = fold(kpad, ktail)
-    vf = fold(vpad, ktail)
+    qf = _flatten_heads(q, Lp, Dh, Dp, dtype)
+    kf = _flatten_heads(kpad, ktail, Dh, Dp, dtype)
+    vf = _flatten_heads(vpad, ktail, Dh, Dp, dtype)
 
     if rel is None:
         relf = jnp.zeros((H, Dp, Wp), dtype)
@@ -118,23 +145,24 @@ def pallas_banded_forward(q, kpad, vpad, rel, window: int,
     precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_attention_kernel, block=block,
-                               window=window, ctx_pad=ctx_pad,
-                               precision=precision)
+                               window=window, ctx_pad=ctx_pad, n_heads=H,
+                               dp=Dp, precision=precision)
 
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nb),
         in_specs=[
-            pl.BlockSpec((1, block, Dp), lambda g, i: (g, i, 0),
+            pl.BlockSpec((1, block, Dp), lambda g, i, H=H: (g // H, i, g % H),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, Dp, Wp), lambda g, i: (g % H, 0, 0),
+            pl.BlockSpec((1, Dp, Wp), lambda g, i, H=H: (g % H, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block, Dp), lambda g, i: (g, i, 0),
+        out_specs=pl.BlockSpec((1, block, Dp),
+                               lambda g, i, H=H: (g // H, i, g % H),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lp, Dp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, H * Dp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((ctx_pad, Dp), dtype),
             pltpu.VMEM((ctx_pad, Dp), dtype),
@@ -143,8 +171,12 @@ def pallas_banded_forward(q, kpad, vpad, rel, window: int,
         interpret=_use_interpret(),
     )(qf, kf, vf, relf)
 
-    out = out.reshape(B, H, Lp, Dp).transpose(0, 2, 1, 3)
-    return out[:, :L, :, :Dh]
+    out = out.reshape(B, Lp, H, Dp)
+    # match the XLA formulation's output dtype (operand dtype): the custom
+    # VJP's cotangent must agree with what jax.vjp of the XLA path expects
+    # in bf16 mixed-precision mode (accumulation inside the kernel is f32
+    # either way)
+    return out[:, :L, :, :Dh].astype(q.dtype)
 
 
 def _use_interpret() -> bool:

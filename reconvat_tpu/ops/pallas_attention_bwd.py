@@ -1,18 +1,23 @@
 """Pallas TPU kernel: banded local attention backward.
 
-Rematerializes the forward (scores -> band bias -> softmax) in VMEM and
-produces all four gradients in one fused program per (batch*head, block):
+Rematerializes the forward (scores -> skewed band bias -> softmax) in VMEM
+and produces all four gradients in one fused program per
+(batch*head, block):
 
     dP      = dO @ Vc^T
     dS      = P * (dP - rowsum(dP * P))        (softmax backward)
-    dQ_blk  = dS @ Kc + band_collapse(dS) @ rel^T
-    dKc_blk = dS^T @ Q_blk                      (per-block, overlap-added
-    dVc_blk = P^T  @ dO_blk                      outside the kernel)
-    dRel    = Q_blk^T @ band_collapse(dS)       (summed outside)
+    dQ_blk  = dS @ Kc + unskew(dS) @ rel^T
+    dK[ctx] += dS^T @ Q_blk                     (accumulated in a VMEM
+    dV[ctx] += P^T  @ dO_blk                     output block revisited
+    dRel    += Q_blk^T @ unskew(dS)              across the i grid dim)
 
-Because neighbouring context blocks overlap by window-1 frames, dK/dV come
-out as per-block partials; the cheap overlap-add back onto the padded
-sequence happens in XLA. Enabled via MultiHeadAttention1D's custom VJP when
+Neighbouring context blocks overlap by window-1 frames; because the i grid
+dimension is innermost (sequential on the core), dK/dV/dRel accumulate
+in-place in VMEM across the revisited output block — no HBM partials, no
+XLA overlap-add. Band<->offset layout changes use the strided rotate
+(`pltpu.roll`) and anti-identity MXU flips, not per-offset select loops.
+Heads live in the lane dimension (see pallas_attention.py) so the wrapper
+does no transposes. Enabled via MultiHeadAttention1D's custom VJP when
 RECONVAT_PALLAS_BWD=1 (default backward differentiates the XLA
 formulation).
 """
@@ -25,21 +30,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import _round_up, _use_interpret
+from .pallas_attention import (_flatten_heads, _round_up, _skew_bias,
+                               _use_interpret)
 
 
 def _bwd_kernel(q_ref, do_ref, k_hbm, v_hbm, rel_ref,
                 dq_ref, dk_ref, dv_ref, drel_ref,
                 k_vmem, v_vmem, sems, *,
-                block: int, window: int, ctx_pad: int, precision):
+                block: int, window: int, ctx_pad: int, n_heads: int,
+                dp: int, precision):
     g = pl.program_id(0)
     i = pl.program_id(1)
+    b = g // n_heads
+    h = g % n_heads
     start = pl.multiple_of(i * block, block)
+    lane0 = pl.multiple_of(h * dp, dp)
 
     copy_k = pltpu.make_async_copy(
-        k_hbm.at[g, pl.ds(start, ctx_pad), :], k_vmem, sems.at[0])
+        k_hbm.at[b, pl.ds(start, ctx_pad), pl.ds(lane0, dp)], k_vmem,
+        sems.at[0])
     copy_v = pltpu.make_async_copy(
-        v_hbm.at[g, pl.ds(start, ctx_pad), :], v_vmem, sems.at[1])
+        v_hbm.at[b, pl.ds(start, ctx_pad), pl.ds(lane0, dp)], v_vmem,
+        sems.at[1])
     copy_k.start()
     copy_v.start()
 
@@ -64,9 +76,7 @@ def _bwd_kernel(q_ref, do_ref, k_hbm, v_hbm, rel_ref,
     scores = jax.lax.dot_general(q, k, dims_tt,
                                  preferred_element_type=jnp.float32,
                                  precision=precision)     # (block, ctx_pad)
-    bias = jnp.zeros((block, ctx_pad), jnp.float32)
-    for j in range(window):
-        bias = bias + jnp.where(offs == j, qrel[:, j:j + 1], 0.0)
+    bias = _skew_bias(qrel, block, ctx_pad)
     scores = jnp.where(in_band, scores + bias, -jnp.inf)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -74,19 +84,32 @@ def _bwd_kernel(q_ref, do_ref, k_hbm, v_hbm, rel_ref,
 
     copy_v.wait()
     v = v_vmem[:]
-    dp = jax.lax.dot_general(do, v, dims_tt,
-                             preferred_element_type=jnp.float32,
-                             precision=precision)         # (block, ctx_pad)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dp_mat = jax.lax.dot_general(do, v, dims_tt,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)     # (block, ctx_pad)
+    ds = p * (dp_mat - jnp.sum(dp_mat * p, axis=-1, keepdims=True))
 
-    # band-collapse: dqrel[q, j] = ds[q, q + j]
-    dqrel_cols = []
-    for j in range(window):
-        dqrel_cols.append(jnp.sum(jnp.where(offs == j, ds, 0.0), axis=1,
-                                  keepdims=True))
+    # band-collapse: dqrel[q, j] = ds[q, q + j] — the inverse skew. Mosaic's
+    # strided rotate only supports small non-negative strides (a stride of
+    # ctx_pad-1, i.e. "-1", exceeds the per-vreg shift limit), so
+    # rotate-left-by-row is expressed as flip0 . rotate-right-by-row . flip0
+    # with the row flips as anti-identity MXU matmuls (lax.rev has no Mosaic
+    # lowering). With shift ctx_pad + 1 - block the band lands in lanes
+    # [0, window).
     wp = rel.shape[1]
-    dqrel = jnp.concatenate(
-        dqrel_cols + [jnp.zeros((block, wp - window), jnp.float32)], axis=1)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    jmat = (r2 + c2 == block - 1).astype(jnp.float32)   # anti-identity
+    ds_f = jax.lax.dot_general(jmat, ds, dims_nt,
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+    z = pltpu.roll(ds_f, shift=(ctx_pad + 1 - block) % ctx_pad, axis=1,
+                   stride=1, stride_axis=0)
+    dqrel = jax.lax.dot_general(jmat, z[:, :wp], dims_nt,
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+    jcols = jax.lax.broadcasted_iota(jnp.int32, (block, wp), 1)
+    dqrel = jnp.where(jcols < window, dqrel, 0.0)
 
     dsq = ds.astype(q.dtype)
     dq_ref[0] = (jax.lax.dot_general(dsq, k, dims_nt,
@@ -96,15 +119,28 @@ def _bwd_kernel(q_ref, do_ref, k_hbm, v_hbm, rel_ref,
                                        dims_tt,
                                        preferred_element_type=jnp.float32,
                                        precision=precision))
-    dk_ref[0, 0] = jax.lax.dot_general(dsq, q, dims_tn,
-                                       preferred_element_type=jnp.float32,
-                                       precision=precision)
-    dv_ref[0, 0] = jax.lax.dot_general(p.astype(do.dtype), do, dims_tn,
-                                       preferred_element_type=jnp.float32,
-                                       precision=precision)
-    drel_ref[0, 0] = jax.lax.dot_general(q, dqrel.astype(q.dtype), dims_tn,
-                                         preferred_element_type=jnp.float32,
-                                         precision=precision)
+
+    dk_blk = jax.lax.dot_general(dsq, q, dims_tn,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)     # (ctx_pad, Dp)
+    dv_blk = jax.lax.dot_general(p.astype(do.dtype), do, dims_tn,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+    drel_blk = jax.lax.dot_general(q, dqrel.astype(q.dtype), dims_tn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)   # (Dp, Wp)
+
+    # accumulate into the VMEM-resident revisited output blocks; i is the
+    # innermost grid dim so revisits are consecutive and stay in VMEM
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        drel_ref[0] = jnp.zeros_like(drel_ref[0])
+
+    dk_ref[0, pl.ds(start, ctx_pad), :] += dk_blk
+    dv_ref[0, pl.ds(start, ctx_pad), :] += dv_blk
+    drel_ref[0] += drel_blk
 
 
 def pallas_banded_backward(q, kpad, vpad, rel, d_out, window: int,
@@ -122,16 +158,10 @@ def pallas_banded_backward(q, kpad, vpad, rel, d_out, window: int,
     ktail = Lp + 2 * hw + (ctx_pad - ctx)
     dtype = q.dtype
 
-    def fold(x, length):
-        x = jnp.pad(x, ((0, 0), (0, length - x.shape[1]), (0, 0),
-                        (0, Dp - Dh)))
-        return (x.transpose(0, 2, 1, 3).reshape(B * H, length, Dp)
-                .astype(dtype))
-
-    qf = fold(q, Lp)
-    dof = fold(d_out, Lp)
-    kf = fold(kpad, ktail)
-    vf = fold(vpad, ktail)
+    qf = _flatten_heads(q, Lp, Dh, Dp, dtype)
+    dof = _flatten_heads(d_out, Lp, Dh, Dp, dtype)
+    kf = _flatten_heads(kpad, ktail, Dh, Dp, dtype)
+    vf = _flatten_heads(vpad, ktail, Dh, Dp, dtype)
     had_rel = rel is not None
     if rel is None:
         relf = jnp.zeros((H, Dp, Wp), dtype)
@@ -142,37 +172,41 @@ def pallas_banded_backward(q, kpad, vpad, rel, d_out, window: int,
     precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_bwd_kernel, block=block, window=window,
-                               ctx_pad=ctx_pad, precision=precision)
+                               ctx_pad=ctx_pad, n_heads=H, dp=Dp,
+                               precision=precision)
 
     G = B * H
-    dq, dk_parts, dv_parts, drel_parts = pl.pallas_call(
+    dq, dk_full, dv_full, drel_g = pl.pallas_call(
         kernel,
         grid=(G, nb),
         in_specs=[
-            pl.BlockSpec((1, block, Dp), lambda g, i: (g, i, 0),
+            pl.BlockSpec((1, block, Dp), lambda g, i, H=H: (g // H, i, g % H),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, Dp), lambda g, i: (g, i, 0),
+            pl.BlockSpec((1, block, Dp), lambda g, i, H=H: (g // H, i, g % H),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, Dp, Wp), lambda g, i: (g % H, 0, 0),
+            pl.BlockSpec((1, Dp, Wp), lambda g, i, H=H: (g % H, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block, Dp), lambda g, i: (g, i, 0),
+            pl.BlockSpec((1, block, Dp),
+                         lambda g, i, H=H: (g // H, i, g % H),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ctx_pad, Dp), lambda g, i: (g, i, 0, 0),
+            pl.BlockSpec((1, ktail, Dp),
+                         lambda g, i, H=H: (g // H, 0, g % H),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ctx_pad, Dp), lambda g, i: (g, i, 0, 0),
+            pl.BlockSpec((1, ktail, Dp),
+                         lambda g, i, H=H: (g // H, 0, g % H),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dp, Wp), lambda g, i: (g, i, 0, 0),
+            pl.BlockSpec((1, Dp, Wp), lambda g, i: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G, Lp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((G, nb, ctx_pad, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((G, nb, ctx_pad, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((G, nb, Dp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, H * Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, ktail, H * Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, ktail, H * Dp), jnp.float32),
+            jax.ShapeDtypeStruct((G, Dp, Wp), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((ctx_pad, Dp), dtype),
@@ -182,28 +216,14 @@ def pallas_banded_backward(q, kpad, vpad, rel, d_out, window: int,
         interpret=_use_interpret(),
     )(qf, dof, kf, vf, relf)
 
-    # overlap-add the per-block context gradients back onto the padded
-    # sequence (neighbouring context windows share window-1 frames)
-    def unfold_ctx(parts):
-        acc = jnp.zeros((G, ktail, Dp), jnp.float32)
-        for i in range(nb):
-            acc = jax.lax.dynamic_update_slice(
-                acc, jax.lax.dynamic_slice(
-                    acc, (0, i * block, 0), (G, ctx_pad, Dp))
-                + parts[:, i], (0, i * block, 0))
-        return acc
-
-    dk_full = unfold_ctx(dk_parts)
-    dv_full = unfold_ctx(dv_parts)
-
-    def unfold(x, length, orig_len):
-        x = x.reshape(B, H, length, Dp).transpose(0, 2, 1, 3)
+    def unflatten(x, orig_len):
+        x = x.reshape(B, x.shape[1], H, Dp)
         return x[:, :orig_len, :, :Dh].astype(q.dtype)
 
-    dq_out = unfold(dq, Lp, L)
-    dk_out = unfold(dk_full, ktail, L + 2 * hw)
-    dv_out = unfold(dv_full, ktail, L + 2 * hw)
+    dq_out = unflatten(dq, L)
+    dk_out = unflatten(dk_full, L + 2 * hw)
+    dv_out = unflatten(dv_full, L + 2 * hw)
 
-    drel = jnp.sum(drel_parts.reshape(B, H, nb, Dp, Wp), axis=(0, 2))
+    drel = jnp.sum(drel_g.reshape(B, H, Dp, Wp), axis=0)
     drel_out = drel[:, :Dh, :window].astype(rel.dtype) if had_rel else None
     return dq_out, dk_out, dv_out, drel_out

@@ -60,3 +60,29 @@ def test_flag_gated_custom_vjp(monkeypatch):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("pallas_bwd", [False, True])
+def test_custom_vjp_bf16_grads(monkeypatch, pallas_bwd):
+    """Regression: the custom_vjp primal output must carry the operand
+    dtype, or the bf16 mixed-precision cotangent mismatches the XLA
+    fallback backward (caught on the flagship bf16 VAT train step)."""
+    from reconvat_tpu.nn.attention import banded_attention_pallas
+
+    if pallas_bwd:
+        monkeypatch.setenv("RECONVAT_PALLAS_BWD", "1")
+    else:
+        monkeypatch.delenv("RECONVAT_PALLAS_BWD", raising=False)
+    q, kpad, vpad, rel, g = _setup(L=64, W=7)
+    q, kpad, vpad, rel = (x.astype(jnp.bfloat16)
+                          for x in (q, kpad, vpad, rel))
+
+    def loss(q, k, v, r):
+        out = banded_attention_pallas(q, k, v, r, 7, 64)
+        assert out.dtype == jnp.bfloat16
+        return jnp.sum(out.astype(jnp.float32) * g)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, kpad, vpad, rel)
+    for name, a in zip(("dq", "dk", "dv", "drel"), grads):
+        assert a.dtype == jnp.bfloat16, name
+        assert bool(jnp.all(jnp.isfinite(a.astype(jnp.float32)))), name

@@ -5,12 +5,17 @@ Measures the flagship attention shape (reference `MutliHeadAttention1D`
 on the real TPU chip. Used to decide the default attention impl
 (VERDICT round 1, item 6).
 
-    python tools/bench_attention.py [--dtype bf16|f32] [--iters 50]
+Methodology: the host here is a single-core VM driving the chip through a
+remote relay, so per-dispatch timing is dominated by host noise. Each
+variant therefore runs N iterations inside ONE jitted lax.fori_loop (one
+dispatch, pure device time), with the input scaled by a per-iteration
+factor so no iteration can be CSE'd away.
+
+    python tools/bench_attention.py [--dtype bf16|f32] [--iters 100]
 """
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import sys
 import time
@@ -21,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--B", type=int, default=8)
     ap.add_argument("--L", type=int, default=640)
     ap.add_argument("--H", type=int, default=4)
@@ -36,6 +41,7 @@ def main():
     from reconvat_tpu import runtime
     from reconvat_tpu.nn.attention import banded_attention
     from reconvat_tpu.ops.pallas_attention import pallas_banded_forward
+    from reconvat_tpu.ops.pallas_attention_bwd import pallas_banded_backward
 
     runtime.setup()
 
@@ -50,58 +56,76 @@ def main():
     rel = jnp.asarray(rng.randn(H, Dh, W), dtype) * 0.1
     g_out = jnp.asarray(rng.randn(B, L, H, Dh), jnp.float32) * 0.1
 
-    def timeit(fn, *xs, iters=args.iters, warmup=3):
-        f = jax.jit(fn)
-        out = f(*xs)
-        jax.block_until_ready(out)
-        for _ in range(warmup):
-            jax.block_until_ready(f(*xs))
+    def device_time(body, iters=args.iters):
+        """Time `body(q_scaled)` run `iters` times inside one jit."""
+
+        @jax.jit
+        def loop(q0):
+            def it(i, acc):
+                qi = q0 * (1.0 + 1e-6 * i.astype(q0.dtype))
+                return acc + body(qi)
+
+            return jax.lax.fori_loop(0, iters, it, jnp.zeros((), jnp.float32))
+
+        jax.block_until_ready(loop(q))          # compile
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(*xs)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters * 1e3
+        jax.block_until_ready(loop(q))
+        once = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(q))
+        twice = time.perf_counter() - t0
+        return min(once, twice) / iters * 1e3
 
-    def xla_fwd(q, k, v, r):
-        out, _ = banded_attention(q, k, v, r, W, block_size=128,
+    def xla_fwd(qi):
+        out, _ = banded_attention(qi, kpad, vpad, rel, W, block_size=128,
                                   return_probs=False)
-        return out
+        return jnp.vdot(out.astype(jnp.float32), g_out)
 
-    def pallas_fwd(q, k, v, r):
-        return pallas_banded_forward(q, k, v, r, W, 256)
+    def pallas_fwd(qi):
+        out = pallas_banded_forward(qi, kpad, vpad, rel, W, 256)
+        return jnp.vdot(out, g_out)
 
     def make_fwdbwd(fwd):
-        def loss(q, k, v, r):
-            return jnp.vdot(fwd(q, k, v, r).astype(jnp.float32), g_out)
+        grad = jax.value_and_grad(
+            lambda qi, k, v, r: fwd_inner(fwd, qi, k, v, r),
+            argnums=(0, 1, 2, 3))
 
-        grad = jax.grad(loss, argnums=(0, 1, 2, 3))
+        def body(qi):
+            val, grads = grad(qi, kpad, vpad, rel)
+            return val + sum(jnp.vdot(g.astype(jnp.float32),
+                                      g.astype(jnp.float32))
+                             for g in grads) * 1e-9
 
-        def step(q, k, v, r):
-            return grad(q, k, v, r)
+        return body
 
-        return step
+    def fwd_inner(fwd, qi, k, v, r):
+        return fwd(qi, k, v, r)
+
+    def xla_full(qi, k, v, r):
+        out, _ = banded_attention(qi, k, v, r, W, block_size=128,
+                                  return_probs=False)
+        return jnp.vdot(out.astype(jnp.float32), g_out)
+
+    def pallas_manual_fwdbwd(qi):
+        out = pallas_banded_forward(qi, kpad, vpad, rel, W, 256)
+        val = jnp.vdot(out, g_out)
+        dq, dk, dv, dr = pallas_banded_backward(qi, kpad, vpad, rel, g_out,
+                                                W, 256)
+        reg = (jnp.vdot(dq.astype(jnp.float32), dq.astype(jnp.float32))
+               + jnp.vdot(dk.astype(jnp.float32), dk.astype(jnp.float32))
+               + jnp.vdot(dv.astype(jnp.float32), dv.astype(jnp.float32))
+               + jnp.vdot(dr.astype(jnp.float32), dr.astype(jnp.float32)))
+        return val + reg * 1e-9
 
     results = {}
-    results["xla_fwd"] = timeit(xla_fwd, q, kpad, vpad, rel)
-    results["pallas_fwd"] = timeit(pallas_fwd, q, kpad, vpad, rel)
-    results["xla_fwdbwd"] = timeit(make_fwdbwd(xla_fwd), q, kpad, vpad, rel)
-
-    # pallas fwd + pallas bwd through the custom_vjp wrapper
-    os.environ["RECONVAT_PALLAS_BWD"] = "1"
-    from reconvat_tpu.nn.attention import banded_attention_pallas
-
-    def pallas_custom(q, k, v, r):
-        return banded_attention_pallas(q, k, v, r, W, 256)
-
-    results["pallas_fwdbwd"] = timeit(make_fwdbwd(pallas_custom),
-                                      q, kpad, vpad, rel)
-    del os.environ["RECONVAT_PALLAS_BWD"]
-    # pallas fwd + XLA bwd (the current default training path)
-    results["pallas_fwd_xla_bwd"] = timeit(make_fwdbwd(pallas_custom),
-                                           q, kpad, vpad, rel)
+    results["xla_fwd"] = device_time(xla_fwd)
+    results["pallas_fwd"] = device_time(pallas_fwd)
+    results["xla_fwdbwd"] = device_time(make_fwdbwd(xla_full))
+    results["pallas_fwdbwd"] = device_time(pallas_manual_fwdbwd)
 
     print(f"# B={B} L={L} H={H} Dh={Dh} W={W} dtype={args.dtype} "
-          f"backend={jax.default_backend()}")
+          f"device={jax.devices()[0].device_kind} iters={args.iters} "
+          f"(device time via fori_loop, min of 2 runs)")
     for k, v in results.items():
         print(f"{k:>20s}: {v:8.3f} ms")
 
