@@ -143,9 +143,17 @@ def _bwd_kernel(q_ref, do_ref, k_hbm, v_hbm, rel_ref,
     drel_ref[0] += drel_blk
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6))
 def pallas_banded_backward(q, kpad, vpad, rel, d_out, window: int,
                            block: int = 256):
-    """Gradients of pallas_banded_forward w.r.t. (q, kpad, vpad, rel)."""
+    """Gradients of pallas_banded_forward w.r.t. (q, kpad, vpad, rel).
+
+    Differentiable: under VAT the power-iteration gradient is itself part
+    of the traced train step, so the outer `jax.grad` linearizes this
+    function. Its JVP (below) runs through the XLA formulation — the VAT
+    direction is stop-gradiented (`vat.py`), so XLA dead-code-eliminates
+    that tangent path; it exists for correctness, not speed.
+    """
     B, L, H, Dh = q.shape
     hw = (window - 1) // 2
     block = min(block, _round_up(max(L, 8), 8))
@@ -227,3 +235,36 @@ def pallas_banded_backward(q, kpad, vpad, rel, d_out, window: int,
     drel = jnp.sum(drel_g.reshape(B, H, Dp, Wp), axis=0)
     drel_out = drel[:, :Dh, :window].astype(rel.dtype) if had_rel else None
     return dq_out, dk_out, dv_out, drel_out
+
+
+@pallas_banded_backward.defjvp
+def _pallas_banded_backward_jvp(window, block, primals, tangents):
+    from ..nn.attention import banded_attention
+
+    q, kpad, vpad, rel, d_out = primals
+    tq, tk, tv, trel, tg = tangents
+    had_rel = rel is not None
+    if rel is None:
+        H, Dh = q.shape[2], q.shape[3]
+        rel = jnp.zeros((H, Dh, window), q.dtype)
+        trel = jnp.zeros_like(rel)
+
+    out_primal = pallas_banded_backward(q, kpad, vpad, rel, d_out, window,
+                                        block)
+
+    def xla_backward(q_, k_, v_, r_, g_):
+        def f(a, b, c, d):
+            out, _ = banded_attention(a, b, c, d, window,
+                                      block_size=min(block, 128),
+                                      return_probs=False)
+            return out
+
+        _, vjp = jax.vjp(f, q_, k_, v_, r_)
+        return vjp(g_.astype(q_.dtype))
+
+    _, out_tangent = jax.jvp(xla_backward, (q, kpad, vpad, rel, d_out),
+                             (tq, tk, tv, trel, tg))
+    if not had_rel:
+        out_primal = out_primal[:3] + (None,)
+        out_tangent = out_tangent[:3] + (None,)
+    return out_primal, out_tangent

@@ -86,3 +86,32 @@ def test_custom_vjp_bf16_grads(monkeypatch, pallas_bwd):
     for name, a in zip(("dq", "dk", "dv", "drel"), grads):
         assert a.dtype == jnp.bfloat16, name
         assert bool(jnp.all(jnp.isfinite(a.astype(jnp.float32)))), name
+
+
+@pytest.mark.slow
+def test_vat_train_step_with_pallas_bwd(monkeypatch):
+    """Regression: the outer train-step grad linearizes the VAT inner
+    gradient, whose primal pass contains the Pallas backward kernel — the
+    kernel must be custom_jvp-differentiable (JVP via the XLA
+    formulation) or the flagship VAT step fails to trace."""
+    monkeypatch.setenv("RECONVAT_PALLAS_BWD", "1")
+    from reconvat_tpu.models.reconvat import ReconVAT
+    from reconvat_tpu.train.state import create_train_state, make_train_step
+
+    frames = 32
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": (rng.randn(2, frames * 512) * 0.1).astype(np.float32),
+        "onset": (rng.rand(2, frames, 88) > 0.97).astype(np.float32),
+        "offset": (rng.rand(2, frames, 88) > 0.97).astype(np.float32),
+        "frame": (rng.rand(2, frames, 88) > 0.9).astype(np.float32),
+        "velocity": rng.rand(2, frames, 88).astype(np.float32),
+    }
+    model = ReconVAT(reconstruction=True, attn_impl="pallas",
+                     compute_dtype="bfloat16")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               seq_frames=frames)
+    step = make_train_step(model, alpha=1.0, vat=True, use_unlabeled=False)
+    state, losses = step(state, batch, None, jax.random.PRNGKey(1))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
