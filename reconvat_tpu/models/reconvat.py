@@ -34,7 +34,7 @@ class Spec2Roll(nn.Module):
     n_bins: int = C.N_BINS
     complexity: int = 4
     attn_block_size: int = 128
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: str | None = None   # e.g. 'bfloat16' mixed precision
 
     def setup(self):
@@ -59,7 +59,7 @@ class Roll2Spec(nn.Module):
     n_bins: int = C.N_BINS
     complexity: int = 4
     attn_block_size: int = 128
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: str | None = None
 
     def setup(self):
@@ -84,7 +84,7 @@ class UNet(nn.Module):
     n_bins: int = C.N_BINS
     reconstruction: bool = True
     attn_block_size: int = 128
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: str | None = None
 
     def setup(self):
@@ -127,7 +127,8 @@ class ReconVAT:
     eps: float = 2.0
     kl_div: bool = False
     attn_block_size: int = 128
-    attn_impl: str = "xla"     # 'pallas' fuses the banded attention kernel
+    attn_impl: str = "auto"    # 'auto' = fused Pallas kernel on single-chip
+                               # TPU (no attention probs logged), else XLA
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
                                       # (params/BN/heads/losses stay fp32)
     n_heads: int = 4  # for attention visualization metadata

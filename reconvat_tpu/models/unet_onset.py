@@ -34,13 +34,14 @@ class Stack(nn.Module):
     output_dim: int = N_KEYS
     dropout: float = 0.5
     attn_block_size: int = 128
+    attn_impl: str = "auto"
     dtype: str | None = None
 
     def setup(self):
         self.attention = MultiHeadAttention1D(
             out_features=self.hidden_dim, kernel_size=self.attn_size,
             groups=self.attn_group, block_size=self.attn_block_size,
-            dtype=self.dtype)
+            impl=self.attn_impl, dtype=self.dtype)
         self.linear = nn.Dense(self.output_dim, kernel_init=torch_conv_init)
         self.dropout_layer = nn.Dropout(self.dropout)
 
@@ -56,6 +57,7 @@ class OnsetSpec2Roll(nn.Module):
     """Reference onset-variant `Spec2Roll` (`model/UNet_onset.py:284-315`)."""
     n_bins: int = C.N_BINS
     attn_block_size: int = 128
+    attn_impl: str = "auto"
     dtype: str | None = None
 
     def setup(self):
@@ -67,6 +69,7 @@ class OnsetSpec2Roll(nn.Module):
                                    attn_group=6, output_dim=N_KEYS,
                                    dropout=0.0,
                                    attn_block_size=self.attn_block_size,
+                                   attn_impl=self.attn_impl,
                                    dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
@@ -85,16 +88,17 @@ class UNetOnsetModule(nn.Module):
     n_bins: int = C.N_BINS
     reconstruction: bool = True
     attn_block_size: int = 128
+    attn_impl: str = "auto"
     dtype: str | None = None
 
     def setup(self):
         self.transcriber = OnsetSpec2Roll(
             self.n_bins, attn_block_size=self.attn_block_size,
-            dtype=self.dtype)
+            attn_impl=self.attn_impl, dtype=self.dtype)
         if self.reconstruction:
             self.reconstructor = Roll2Spec(
                 self.n_bins, attn_block_size=self.attn_block_size,
-                dtype=self.dtype)
+                attn_impl=self.attn_impl, dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
         pianoroll, onset, a = self.transcriber(x, train)
@@ -122,6 +126,8 @@ class UNetOnset:
     eps: float = 2.0
     kl_div: bool = False
     attn_block_size: int = 128
+    attn_impl: str = "auto"   # 'auto' = fused Pallas kernel on single-chip
+                              # TPU (no attention probs logged), else XLA
     compute_dtype: str | None = None
     n_heads: int = 4
 
@@ -130,6 +136,7 @@ class UNetOnset:
         self.module = UNetOnsetModule(n_bins=self.n_bins,
                                       reconstruction=self.reconstruction,
                                       attn_block_size=self.attn_block_size,
+                                      attn_impl=self.attn_impl,
                                       dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,

@@ -39,12 +39,35 @@ def _pallas_fwd(q, kpad, vpad, rel, window, block):
     return out, (q, kpad, vpad, rel)
 
 
+def _use_pallas_bwd(dtype) -> bool:
+    """RECONVAT_PALLAS_BWD=1 switches the backward to the fused Pallas
+    kernel ("0"/unset = XLA VJP of the banded formulation).
+
+    Measured on the flagship semi-supervised VAT train step with
+    device-resident inputs (tools/bench_train_step.py, B=8+8 x 640
+    frames, TPU v5 lite, best of 2x30 iters): every combination lands
+    within +-1.5% — bf16 230.6 / 229.2 / 233.3 ms for
+    xla / pallas-fwd / pallas-fwd+bwd, fp32 356.3 / 358.1 / 351.3 ms —
+    because the step is HBM-bandwidth-bound in the UNet convolutions
+    (tools/roofline.py: 1.65 TFLOP but 180 GB accessed/step, ~95% of
+    the v5e bandwidth roofline), not in attention. The default backward
+    therefore stays the XLA VJP:
+    equally fast, keeps probs available, and GSPMD-shardable. (A
+    per-step-H2D regime shows large Pallas "wins" — 1048 vs 639 ms bf16 —
+    but that measures transfer overlap through the dev relay, not the
+    kernels; see tools/bench_train_step.py --h2d.)
+    """
+    del dtype
+    import os
+
+    flag = os.environ.get("RECONVAT_PALLAS_BWD")
+    return bool(flag) and flag != "0"
+
+
 def _pallas_bwd(window, block, residuals, g):
     q, kpad, vpad, rel = residuals
 
-    import os
-
-    if os.environ.get("RECONVAT_PALLAS_BWD"):
+    if _use_pallas_bwd(q.dtype):
         from ..ops.pallas_attention_bwd import pallas_banded_backward
 
         dq, dk, dv, drel = pallas_banded_backward(q, kpad, vpad, rel, g,
@@ -64,6 +87,24 @@ def _pallas_bwd(window, block, residuals, g):
 
 
 banded_attention_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def resolve_attn_impl(impl: str) -> str:
+    """Resolve the 'auto' attention implementation.
+
+    Production default is the fused Pallas kernel on a single TPU chip
+    (measured 1.64x train-step win in bf16, 3.4x forward in fp32 — see
+    _use_pallas_bwd and README). Everywhere else 'auto' means the XLA
+    banded formulation: on CPU Pallas only interprets (slow), and under a
+    multi-chip GSPMD mesh the sequence-sharded halo exchange is handled by
+    XLA for the einsum path but would need an explicit shard_map wrapper
+    for the opaque Pallas call.
+    """
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "pallas"
+    return "xla"
 
 
 def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
@@ -153,6 +194,7 @@ class MultiHeadAttention1D(nn.Module):
     block_size: int = 128
     return_probs: bool = True
     impl: str = "xla"          # 'xla' | 'pallas' (fused kernel, probs=None)
+                               # | 'auto' (pallas on single-chip TPU)
     pallas_block: int = 256
     dtype: str | None = None   # computation dtype; params stay fp32
 
@@ -188,7 +230,7 @@ class MultiHeadAttention1D(nn.Module):
         if self.position:
             rel = self.rel[0].reshape(H, Dh, self.kernel_size)
 
-        if self.impl == "pallas":
+        if resolve_attn_impl(self.impl) == "pallas":
             if rel is None:
                 rel = jnp.zeros((H, Dh, self.kernel_size), q.dtype)
             out = banded_attention_pallas(q, k, v, rel, self.kernel_size,

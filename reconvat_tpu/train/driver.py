@@ -90,10 +90,10 @@ def run_training(model, cfg, datasets=None):
     application = cfg.get("application", False)
     train_steps = {
         False: make_train_step(model, alpha, vat=False, use_unlabeled=False,
-                               application=application),
+                               application=application, donate=True),
         True: make_train_step(model, alpha, vat=True,
                               use_unlabeled=ul_loader is not None,
-                              application=application),
+                              application=application, donate=True),
     }
     eval_step = make_eval_step(model)
 

@@ -82,15 +82,22 @@ def total_loss_from_dict(losses: dict, alpha: float) -> jnp.ndarray:
 
 
 def make_train_step(model, alpha: float, vat: bool, use_unlabeled: bool,
-                    application: bool = False) -> Callable:
+                    application: bool = False,
+                    donate: bool = False) -> Callable:
     """Builds a jitted step: (state, batch_l, batch_ul, key) ->
     (state, losses). `application=True` uses run_on_batch_application
     (the unlabeled-consistency fine-tuning objective,
-    reference `model/helper_functions.py:618-663`)."""
+    reference `model/helper_functions.py:618-663`).
+
+    donate=True donates the input TrainState's buffers (params + Adam
+    moments update in place, saving an HBM copy per step). The caller must
+    not reuse the old state after the call — the production loop and the
+    benches qualify; parity tests that re-run a step from the same state
+    do not."""
     run = (model.run_on_batch_application if application
            else model.run_on_batch)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, batch_l, batch_ul, key):
         def loss_fn(params):
             variables = {"params": params}

@@ -69,10 +69,9 @@ def test_custom_vjp_bf16_grads(monkeypatch, pallas_bwd):
     fallback backward (caught on the flagship bf16 VAT train step)."""
     from reconvat_tpu.nn.attention import banded_attention_pallas
 
-    if pallas_bwd:
-        monkeypatch.setenv("RECONVAT_PALLAS_BWD", "1")
-    else:
-        monkeypatch.delenv("RECONVAT_PALLAS_BWD", raising=False)
+    # "0" forces the XLA-VJP backward: with the flag unset, bf16 inputs
+    # default to the Pallas backward (the measured train-step winner).
+    monkeypatch.setenv("RECONVAT_PALLAS_BWD", "1" if pallas_bwd else "0")
     q, kpad, vpad, rel, g = _setup(L=64, W=7)
     q, kpad, vpad, rel = (x.astype(jnp.bfloat16)
                           for x in (q, kpad, vpad, rel))
@@ -86,6 +85,30 @@ def test_custom_vjp_bf16_grads(monkeypatch, pallas_bwd):
     for name, a in zip(("dq", "dk", "dv", "drel"), grads):
         assert a.dtype == jnp.bfloat16, name
         assert bool(jnp.all(jnp.isfinite(a.astype(jnp.float32)))), name
+
+
+def test_backward_selection_flag(monkeypatch):
+    """Default backward is the XLA VJP (measured parity on the resident-
+    input train step); RECONVAT_PALLAS_BWD=1 forces the Pallas kernel,
+    "0" and unset force XLA."""
+    from reconvat_tpu.nn.attention import _use_pallas_bwd
+
+    monkeypatch.delenv("RECONVAT_PALLAS_BWD", raising=False)
+    assert not _use_pallas_bwd(jnp.bfloat16)
+    monkeypatch.setenv("RECONVAT_PALLAS_BWD", "0")
+    assert not _use_pallas_bwd(jnp.bfloat16)
+    monkeypatch.setenv("RECONVAT_PALLAS_BWD", "1")
+    assert _use_pallas_bwd(jnp.float32)
+
+
+def test_auto_impl_resolution():
+    """'auto' means Pallas only on a single-chip TPU backend; the test
+    suite runs on the virtual CPU mesh, so it must resolve to XLA here."""
+    from reconvat_tpu.nn.attention import resolve_attn_impl
+
+    assert resolve_attn_impl("auto") == "xla"
+    assert resolve_attn_impl("pallas") == "pallas"
+    assert resolve_attn_impl("xla") == "xla"
 
 
 @pytest.mark.slow

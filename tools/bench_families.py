@@ -78,8 +78,11 @@ def main():
 
     for name, make, batch, frames, supports_vat in cases:
         vat = bool(args.vat and supports_vat)
-        bl = _batch(batch, frames, 0)
-        bul = _batch(batch, frames, 1) if vat else None
+        # device-resident batches: the production loop prefetches H2D, and
+        # per-step uploads through the dev relay would dominate the timing
+        # (see tools/bench_train_step.py)
+        bl = jax.device_put(_batch(batch, frames, 0))
+        bul = jax.device_put(_batch(batch, frames, 1)) if vat else None
         times = {}
         for dtype in (None, "bfloat16"):
             model = make(dtype)

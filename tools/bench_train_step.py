@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=640)
+    ap.add_argument("--h2d", action="store_true",
+                    help="re-upload the numpy batches every step")
     args = ap.parse_args()
 
     import jax
@@ -47,23 +49,28 @@ def main():
         }
 
     bl, bul = batch(0), batch(1)
+    if not args.h2d:
+        # the real training loop keeps batches device-resident (H2D
+        # double-buffered prefetch), so the impl decision is made on
+        # resident inputs; --h2d adds the per-step upload instead.
+        bl, bul = jax.device_put((bl, bul))
     print(f"# flagship ReconVAT semi-supervised VAT step, "
           f"B={args.batch}+{args.batch} x {args.frames} frames, "
-          f"device={jax.devices()[0].device_kind}, iters={args.iters}")
+          f"device={jax.devices()[0].device_kind}, iters={args.iters}, "
+          f"inputs={'h2d-per-step' if args.h2d else 'device-resident'}")
 
     for dtype in ("bfloat16", None):
         for attn_impl, pallas_bwd in (("xla", False), ("pallas", False),
                                       ("pallas", True)):
-            if pallas_bwd:
-                os.environ["RECONVAT_PALLAS_BWD"] = "1"
-            else:
-                os.environ.pop("RECONVAT_PALLAS_BWD", None)
+            # "0" forces the XLA backward (unset would mean
+            # dtype-heuristic default, which picks Pallas for bf16)
+            os.environ["RECONVAT_PALLAS_BWD"] = "1" if pallas_bwd else "0"
             model = ReconVAT(reconstruction=True, attn_impl=attn_impl,
                              compute_dtype=dtype)
             state = jax.device_put(create_train_state(
                 model, jax.random.PRNGKey(0), seq_frames=args.frames))
             step = make_train_step(model, alpha=1.0, vat=True,
-                                   use_unlabeled=True)
+                                   use_unlabeled=True, donate=True)
             key = jax.random.PRNGKey(1)
             state, losses = step(state, bl, bul, key)
             jax.block_until_ready(state.params)
