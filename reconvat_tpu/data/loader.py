@@ -86,6 +86,16 @@ class DataLoader:
 
 
 def cycle(loader):
+    """Endless re-iteration (reference `helper_functions.cycle`).
+
+    Guards against a loader that yields no batches (dataset smaller than
+    batch_size with drop_last) — the reference silently spins forever in
+    that case; we fail with an actionable message instead."""
+    if len(loader) == 0:
+        raise ValueError(
+            f"DataLoader yields 0 batches: dataset has {len(loader.dataset)}"
+            f" item(s) < batch_size={loader.batch_size} with drop_last —"
+            " lower the batch size or provide more files")
     while True:
         yield from loader
 

@@ -1,14 +1,16 @@
 """Conv trunk and recurrent stacks for the Onsets-and-Frames family.
 
 Ports of reference `ConvStack` / `Onset_Stack` / `Combine_Stack`
-(`model/onset_frame_VAT.py:321-414`). The BiLSTM runs as `lax.scan` via
-flax nn.RNN — the reference's cuDNN eval-mode workaround (flipping the
-module to train() to run the LSTM, `model/onset_frame_VAT.py:370-381`) is
-deliberately NOT replicated; scan has no such issue.
+(`model/onset_frame_VAT.py:321-414`). The BiLSTM runs as a `lax.scan`
+over the recurrence only (input projections hoisted, see BiLSTM) — the
+reference's cuDNN eval-mode workaround (flipping the module to train() to
+run the LSTM, `model/onset_frame_VAT.py:370-381`) is deliberately NOT
+replicated; scan has no such issue.
 """
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,16 +61,55 @@ class ConvStack(nn.Module):
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM, output width = 2 * hidden_size."""
+    """Bidirectional LSTM, output width = 2 * hidden_size.
+
+    torch.nn.LSTM semantics (gate order i,f,g,o; effective bias =
+    bias_ih + bias_hh; uniform(+-1/sqrt(H)) init) — parity-tested against
+    the reference's `torch.nn.LSTM` in test_onsets_frames.py.
+
+    TPU-first: the input projection for every timestep is hoisted out of
+    the recurrence into one large (B*T, F) x (F, 4H) MXU matmul per
+    direction; `lax.scan` then carries only the (h, c) state and the
+    small H x 4H recurrent matmul. This halves the serial per-step work
+    vs scanning a whole LSTM cell (cuDNN performs the same hoist on GPU).
+    """
     hidden_size: int
 
-    def setup(self):
-        self.fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name="fwd")
-        self.bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
-                          reverse=True, keep_order=True, name="bwd")
-
+    @nn.compact
     def __call__(self, x):
-        return jnp.concatenate([self.fwd(x), self.bwd(x)], axis=-1)
+        # recurrence always runs fp32 (policy: bf16 error would compound
+        # over 640 steps; see OnsetStack) — cast bf16 conv-trunk inputs up
+        x = x.astype(jnp.float32)
+        B, T, F = x.shape
+        H = self.hidden_size
+        init = nn.initializers.uniform(scale=2.0 / np.sqrt(H))
+
+        def shifted(key, shape, dtype=jnp.float32):
+            # torch LSTM init: U(-1/sqrt(H), 1/sqrt(H))
+            return init(key, shape, dtype) - 1.0 / np.sqrt(H)
+
+        outs = []
+        for direction in ("fwd", "bwd"):
+            w_ih = self.param(f"{direction}_w_ih", shifted, (F, 4 * H))
+            w_hh = self.param(f"{direction}_w_hh", shifted, (H, 4 * H))
+            bias = self.param(f"{direction}_bias", shifted, (4 * H,))
+
+            xw = jnp.einsum("btf,fg->btg", x, w_ih) + bias   # hoisted
+            xw = jnp.swapaxes(xw, 0, 1)                      # (T, B, 4H)
+
+            def step(carry, xw_t, w_hh=w_hh):
+                h, c = carry
+                gates = xw_t + h @ w_hh
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+                h = nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            zero = jnp.zeros((B, H), x.dtype)
+            _, ys = jax.lax.scan(step, (zero, zero), xw,
+                                 reverse=direction == "bwd")
+            outs.append(jnp.swapaxes(ys, 0, 1))
+        return jnp.concatenate(outs, axis=-1)
 
 
 class OnsetStack(nn.Module):
@@ -125,7 +166,9 @@ class CombineStack(nn.Module):
 
 def lstm_torch_entries(prefix_torch, prefix_flax, state_dict):
     """Yield (flax_path, value) pairs converting a torch bidirectional LSTM
-    (`weight_ih_l0[_reverse]` etc., gate order i,f,g,o) to our BiLSTM."""
+    (`weight_ih_l0[_reverse]` etc., gate order i,f,g,o) to our BiLSTM.
+    torch stores (4H, F) row-chunked [i; f; g; o]; ours is the transpose
+    with the same gate-chunk order, and one fused bias = b_ih + b_hh."""
     out = {}
     for direction, sub in [("", "fwd"), ("_reverse", "bwd")]:
         w_ih = state_dict.get(f"{prefix_torch}.weight_ih_l0{direction}")
@@ -134,14 +177,9 @@ def lstm_torch_entries(prefix_torch, prefix_flax, state_dict):
         b_hh = state_dict.get(f"{prefix_torch}.bias_hh_l0{direction}")
         if w_ih is None:
             continue
-        w_ih, w_hh = np.asarray(w_ih), np.asarray(w_hh)
-        h = w_hh.shape[1]
-        gates = ["i", "f", "g", "o"]
-        for gi, g in enumerate(gates):
-            sl = slice(gi * h, (gi + 1) * h)
-            out[f"{prefix_flax}/{sub}/cell/i{g}/kernel"] = w_ih[sl].T
-            out[f"{prefix_flax}/{sub}/cell/h{g}/kernel"] = w_hh[sl].T
-            if b_ih is not None:
-                out[f"{prefix_flax}/{sub}/cell/h{g}/bias"] = (
-                    np.asarray(b_ih)[sl] + np.asarray(b_hh)[sl])
+        out[f"{prefix_flax}/{sub}_w_ih"] = np.asarray(w_ih).T
+        out[f"{prefix_flax}/{sub}_w_hh"] = np.asarray(w_hh).T
+        if b_ih is not None:
+            out[f"{prefix_flax}/{sub}_bias"] = (np.asarray(b_ih)
+                                                + np.asarray(b_hh))
     return out

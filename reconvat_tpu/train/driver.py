@@ -88,12 +88,13 @@ def run_training(model, cfg, datasets=None):
     summary(type(model).__name__, {"params": state.params})
 
     application = cfg.get("application", False)
+    donate = cfg.get("donate", True)
     train_steps = {
         False: make_train_step(model, alpha, vat=False, use_unlabeled=False,
-                               application=application, donate=True),
+                               application=application, donate=donate),
         True: make_train_step(model, alpha, vat=True,
                               use_unlabeled=ul_loader is not None,
-                              application=application, donate=True),
+                              application=application, donate=donate),
     }
     eval_step = make_eval_step(model)
 

@@ -41,10 +41,21 @@ class VATConfig:
 
 
 def l2_normalize(d, binwise: bool = False, axis: int = -1):
-    """Reference `_l2_normalize` (`model/self_attention_VAT.py:240-246`)."""
+    """Reference `_l2_normalize` (`model/self_attention_VAT.py:240-246`).
+
+    Documented divergence: the reference's vector mode divides by an
+    unguarded norm, so a fully-saturated model (adversarial gradient
+    underflows to exactly 0 even after the 1e10 rescue) turns the whole
+    step NaN — its own NaN assert (`model/UNet_onset.py:146`) would abort
+    there. We floor the norm at 1e-30 (fp32 min normal is ~1e-38), which
+    is bit-identical for every non-degenerate direction and yields a zero
+    perturbation instead of NaN in the degenerate case. Observed on a
+    supersmall overfit run that saturated frame BCE below 2e-2.
+    """
     if binwise:
         return d / (jnp.abs(d) + 1e-8)
-    return d / jnp.linalg.norm(d, axis=axis, keepdims=True)
+    norm = jnp.linalg.norm(d, axis=axis, keepdims=True)
+    return d / jnp.maximum(norm, 1e-30)
 
 
 def _tree_objective(y_pred, y_ref, kl_div: bool):

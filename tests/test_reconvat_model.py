@@ -181,3 +181,17 @@ def test_bucketed_transcribe_matches_exact():
     t = exact.shape[1]
     body = float(jnp.abs(bucketed[:, :t - 16] - exact[:, :t - 16]).max())
     assert body < 5e-3, body
+
+
+def test_l2_normalize_zero_direction_is_finite():
+    """Degenerate adversarial direction (gradient underflow on a saturated
+    model): the guarded vector norm yields a zero perturbation, not NaN,
+    and is bit-identical for non-degenerate rows (see vat.l2_normalize)."""
+    from reconvat_tpu.vat import l2_normalize
+
+    d = np.zeros((2, 4, 3, 1), np.float32)
+    d[0, 0, :, 0] = [3.0, 0.0, 4.0]      # one normal row, rest zero
+    out = np.asarray(l2_normalize(jnp.asarray(d), axis=2))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0, 0, :, 0], [0.6, 0.0, 0.8], rtol=1e-6)
+    assert (out[1] == 0).all()
