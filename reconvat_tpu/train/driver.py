@@ -57,7 +57,13 @@ def run_training(model, cfg, datasets=None):
                                    cfg.get("train_batch_size",
                                            cfg["batch_size"]),
                                    shuffle=True, drop_last=True, seed=seed)
-    val_batch_size = min(4, len(validation_dataset)) or 1
+    # reference uses a flat val batch of 4 (`helper_functions.py:117`), but
+    # caps it by the model's own batch_size: Prestack's per-frame unfold
+    # OOMs a single chip at 4 x 640 frames (its authors note it "always
+    # crashes", reference `train_baseline_Prestack.py:114` — ours
+    # shouldn't)
+    val_batch_size = (min(4, cfg.get("batch_size", 4),
+                          len(validation_dataset)) or 1)
     valloader = DataLoader(validation_dataset, val_batch_size,
                            shuffle=False, drop_last=True, seed=seed)
     batch_visualize = next(iter(valloader))
