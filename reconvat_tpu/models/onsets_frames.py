@@ -20,7 +20,7 @@ from .. import constants as C
 from ..nn.layers import CombineStack, ConvStack, OnsetStack
 from ..nn.unet import torch_conv_init
 from ..ops.normalize import Normalization
-from ..ops.spectrogram import make_frontend
+from ..ops.spectrogram import frontend_precision, make_frontend
 from ..vat import VATConfig, vat_loss
 from .losses import binary_cross_entropy
 
@@ -79,7 +79,9 @@ class OnsetsAndFrames:
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision trunk
 
     def __post_init__(self):
-        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.frontend, self.n_bins = make_frontend(
+            self.spec,
+            precision=frontend_precision(self.compute_dtype))
         self.module = OnsetsAndFramesModule(self.n_bins,
                                             self.output_features,
                                             self.model_complexity,
@@ -289,7 +291,9 @@ class FrameStackVAT(OnsetsAndFrames):
     def __post_init__(self):
         from .losses import mse_loss
 
-        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.frontend, self.n_bins = make_frontend(
+            self.spec,
+            precision=frontend_precision(self.compute_dtype))
         self.module = FrameStackModule(self.n_bins, self.output_features,
                                        self.model_complexity,
                                        dtype=self.compute_dtype)
@@ -382,7 +386,9 @@ class OnsetStackVAT(OnsetsAndFrames):
     vat_mode: str = "all"
 
     def __post_init__(self):
-        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.frontend, self.n_bins = make_frontend(
+            self.spec,
+            precision=frontend_precision(self.compute_dtype))
         self.module = OnsetStackModule(self.n_bins, self.output_features,
                                        self.model_complexity,
                                        dtype=self.compute_dtype)

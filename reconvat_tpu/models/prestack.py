@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..nn.unet import Decoder, Encoder, torch_conv_init
 from ..ops.normalize import Normalization
-from ..ops.spectrogram import make_frontend
+from ..ops.spectrogram import frontend_precision, make_frontend
 from .losses import binary_cross_entropy
 
 N_KEYS = C.N_KEYS
@@ -139,7 +139,9 @@ class Prestack:
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
 
     def __post_init__(self):
-        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.frontend, self.n_bins = make_frontend(
+            self.spec,
+            precision=frontend_precision(self.compute_dtype))
         self.module = PrestackModule(self.n_bins,
                                      dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)

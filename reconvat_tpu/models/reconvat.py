@@ -22,7 +22,7 @@ from .. import constants as C
 from ..nn.attention import MultiHeadAttention1D
 from ..nn.unet import Decoder, Encoder, torch_conv_init
 from ..ops.normalize import Normalization
-from ..ops.spectrogram import make_frontend
+from ..ops.spectrogram import frontend_precision, make_frontend
 from ..vat import VATConfig, vat_loss
 from .losses import binary_cross_entropy, mse_loss
 
@@ -134,7 +134,9 @@ class ReconVAT:
     n_heads: int = 4  # for attention visualization metadata
 
     def __post_init__(self):
-        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.frontend, self.n_bins = make_frontend(
+            self.spec,
+            precision=frontend_precision(self.compute_dtype))
         self.module = UNet(n_bins=self.n_bins,
                            reconstruction=self.reconstruction,
                            attn_block_size=self.attn_block_size,

@@ -21,7 +21,7 @@ import numpy as np
 from .. import constants as C
 from ..nn.unet import TorchConvTranspose, torch_conv_init
 from ..ops.normalize import Normalization
-from ..ops.spectrogram import make_frontend
+from ..ops.spectrogram import frontend_precision, make_frontend
 from ..vat import VATConfig, vat_loss
 from .losses import binary_cross_entropy
 
@@ -386,7 +386,9 @@ class SemanticSegmentation:
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
 
     def __post_init__(self):
-        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.frontend, self.n_bins = make_frontend(
+            self.spec,
+            precision=frontend_precision(self.compute_dtype))
         self.module = SegmentationModule(self.n_bins, self.out_class,
                                          self.dropout_rate,
                                          dtype=self.compute_dtype)

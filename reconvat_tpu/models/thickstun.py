@@ -23,7 +23,7 @@ import numpy as np
 from .. import constants as C
 from ..nn.unet import torch_conv_init
 from ..ops.normalize import Normalization
-from ..ops.spectrogram import make_frontend
+from ..ops.spectrogram import frontend_precision, make_frontend
 from .losses import binary_cross_entropy
 
 N_KEYS = C.N_KEYS
@@ -80,7 +80,9 @@ class Thickstun:
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
 
     def __post_init__(self):
-        self.frontend, self.n_bins = make_frontend(self.spec)
+        self.frontend, self.n_bins = make_frontend(
+            self.spec,
+            precision=frontend_precision(self.compute_dtype))
         self.module = ThickstunModule(dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
 

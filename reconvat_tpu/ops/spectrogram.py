@@ -337,6 +337,20 @@ class CFP:
         return freq_band, quef_band
 
 
+def frontend_precision(compute_dtype):
+    """Frontend matmul precision, following the model's compute mode.
+
+    Measured on a v5e chip (B=32 mel + log + imagewise-normalize
+    pipeline): HIGHEST 8.70 ms, HIGH 5.23 ms, DEFAULT 3.07 ms per
+    forward, with max normalized-logspec deviation 0 / 6.6e-5 / 9.8e-3
+    vs HIGHEST. bf16 mixed-precision mode uses HIGH (1.66x, error two
+    orders below the model-side bf16 tolerance); full-fp32 mode keeps
+    exact-parity HIGHEST. DEFAULT is measurably lossy — not used.
+    """
+    return (jax.lax.Precision.HIGH if compute_dtype
+            else jax.lax.Precision.HIGHEST)
+
+
 def make_frontend(spec: str = "Mel", sr: int | None = None,
                   hop_length: int | None = None, n_bins: int | None = None,
                   precision=jax.lax.Precision.HIGHEST):
