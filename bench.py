@@ -74,7 +74,7 @@ def main():
     # device-side thresholding + bit-packing: the host decoder only needs
     # booleans, and the device->host link is the bottleneck on this setup
     # (~120 MB/s relay). fp32 roll = 14.4 MB/batch; packed bits = 0.45 MB.
-    pow2 = jnp.asarray(2 ** np.arange(8), jnp.uint8)
+    from reconvat_tpu.models.common import pack_roll_device
 
     @jax.jit
     def forward(variables, audio_i16):
@@ -82,15 +82,10 @@ def main():
         # stores audio (`data/datasets.py`); H2D moves half the bytes
         audio = audio_i16.astype(jnp.float32) / 32768.0
         preds = model.transcribe(variables, audio)
-        bits = (preds["frame"] > 0.5).astype(jnp.uint8)   # (B, T, 88)
-        bits = jnp.pad(bits, ((0, 0), (0, 0), (0, 96 - 88)))
-        packed = jnp.einsum("btkj,j->btk",
-                            bits.reshape(*bits.shape[:2], 12, 8), pow2)
-        return packed.astype(jnp.uint8)
+        return pack_roll_device(preds["frame"])
 
     def unpack(packed):
-        bits = np.unpackbits(packed, axis=-1, bitorder="little")
-        return bits.reshape(*packed.shape[:2], 96)[..., :88]
+        return decode.unpack_roll(np.asarray(packed))
 
     # fresh host batches uploaded every iteration: the H2D transfer is part
     # of the measured loop (a distinct batch per iteration, rotated)
@@ -105,10 +100,9 @@ def main():
     density = float(unpack(np.asarray(roll)).mean())
 
     def _decode_batch(packed):
-        roll_host = unpack(packed)
-        for b in range(batch):
-            decode.extract_notes_wo_velocity(roll_host[b], roll_host[b],
-                                             rule="rule2")
+        # one batched native call directly on the packed bits (GIL
+        # released); parity with the float path in test_decode_midi.py
+        decode.extract_notes_packed_batch(packed, rule="rule2")
 
     # regime 1: audio pre-staged on device (what a production host's DMA
     # makes of the H2D cost — 21 MB over PCIe is ~2 ms). Software

@@ -42,6 +42,15 @@ def _native_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))]
         lib.notes_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        if hasattr(lib, "extract_notes_packed_batch"):
+            lib.extract_notes_packed_batch.restype = ctypes.c_longlong
+            lib.extract_notes_packed_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64)]
         _NATIVE = lib
     return _NATIVE
 
@@ -71,6 +80,84 @@ def _extract_notes_native(onsets, frames, onset_threshold, frame_threshold,
     finally:
         lib.notes_free(buf)
     return arr[:, 0], arr[:, 1:3]
+
+
+def unpack_roll(packed, n_pitches=88):
+    """Bit-packed (..., K) uint8 roll -> boolean (..., n_pitches).
+
+    Inverse of the device-side packing (bit j of byte k = pitch k*8+j,
+    little bit order — the layout `pack_roll_device` and bench.py emit).
+    """
+    packed = np.asarray(packed, dtype=np.uint8)
+    bits = np.unpackbits(packed, axis=-1, bitorder="little")
+    return bits[..., :n_pitches].astype(bool)
+
+
+def extract_notes_packed_batch(onsets_packed, frames_packed=None,
+                               n_pitches=88, rule="rule2"):
+    """Decode a batch of device-thresholded, bit-packed rolls to notes.
+
+    The serving hot path: the device thresholds the posteriogram at 0.5
+    and packs it to bits (32x smaller D2H transfer); this decodes the
+    whole (B, T, K) batch in ONE native call (bitwise rising-edge
+    detection on 64-bit lanes; the GIL is released for the duration).
+    Returns a list of B (pitches (N,), intervals (N, 2)) pairs with
+    exactly the semantics of `extract_notes_wo_velocity` on the unpacked
+    rolls (reference `model/decoding.py:4-55`; thresholding already
+    happened on device).
+
+    `frames_packed=None` reuses the onset roll as the frame roll — the
+    ReconVAT transcribe contract (`model/self_attention_VAT.py:1309-1312`
+    returns onset = frame = pianoroll).
+    """
+    if rule not in ("rule1", "rule2"):
+        raise NameError("Please enter the correct rule name")
+    on = np.ascontiguousarray(onsets_packed, dtype=np.uint8)
+    if on.ndim != 3:
+        raise ValueError(f"expected (B, T, K) packed roll, got {on.shape}")
+    fr = on if frames_packed is None else np.ascontiguousarray(
+        frames_packed, dtype=np.uint8)
+    if fr.shape != on.shape:
+        raise ValueError("onset/frame packed shapes differ")
+    B, T, K = on.shape
+    if K != (n_pitches + 7) // 8:
+        raise ValueError(f"K={K} does not match n_pitches={n_pitches}")
+
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "extract_notes_packed_batch"):
+        buf = ctypes.POINTER(ctypes.c_int32)()
+        counts = (ctypes.c_int64 * B)()
+        n = lib.extract_notes_packed_batch(
+            on.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            fr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            B, T, K, n_pitches, 1 if rule == "rule1" else 0,
+            ctypes.byref(buf), counts)
+        if n >= 0:
+            try:
+                if n == 0:
+                    flat = np.zeros((0, 3), np.int32)
+                else:
+                    flat = np.ctypeslib.as_array(
+                        buf, shape=(int(n), 3)).copy()
+            finally:
+                lib.notes_free(buf)
+            out, pos = [], 0
+            for b in range(B):
+                c = int(counts[b])
+                chunk = flat[pos:pos + c]
+                pos += c
+                if c == 0:
+                    out.append((np.array([]), np.array([])))
+                else:
+                    out.append((chunk[:, 0], chunk[:, 1:3]))
+            return out
+
+    # numpy fallback: unpack and reuse the float-roll path (bits are
+    # 0/1, so the default 0.5 thresholds reproduce the device threshold)
+    on_b = unpack_roll(on, n_pitches)
+    fr_b = on_b if frames_packed is None else unpack_roll(fr, n_pitches)
+    return [extract_notes_wo_velocity(on_b[b], fr_b[b], rule=rule)
+            for b in range(B)]
 
 
 def _as_bool(x, threshold):

@@ -104,6 +104,25 @@ def pad_song_batch(item, t_pad: int):
     return batch, t_true
 
 
+def pack_roll_device(probs, threshold=0.5):
+    """Threshold a (B, T, P) posteriogram and bit-pack it on device.
+
+    The serving D2H reduction: fp32 rolls are 32x the bytes of the
+    packed bits, and the host decoder only needs booleans (strict >
+    threshold, reference `model/decoding.py:14-21` semantics). Bit j of
+    byte k = pitch k*8+j (little bit order) — the layout
+    `decode.unpack_roll` / `decode.extract_notes_packed_batch` consume.
+    Returns (B, T, ceil(P/8)) uint8.
+    """
+    B, T, P = probs.shape
+    K = -(-P // 8)
+    bits = (probs > threshold).astype(jnp.uint8)
+    bits = jnp.pad(bits, ((0, 0), (0, 0), (0, K * 8 - P)))
+    pow2 = jnp.asarray(2 ** np.arange(8), jnp.uint8)
+    packed = jnp.einsum("btkj,j->btk", bits.reshape(B, T, K, 8), pow2)
+    return packed.astype(jnp.uint8)
+
+
 def transcribe_spec(model, audio, bucket_frames: int = 0):
     """Deployment-path spec preparation shared by every model's
     `transcribe`: returns (spec (B,T,F), t_true or None).

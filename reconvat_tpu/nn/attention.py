@@ -39,7 +39,7 @@ def _pallas_fwd(q, kpad, vpad, rel, window, block):
     return out, (q, kpad, vpad, rel)
 
 
-def _use_pallas_bwd(dtype) -> bool:
+def _use_pallas_bwd() -> bool:
     """RECONVAT_PALLAS_BWD=1 switches the backward to the fused Pallas
     kernel ("0"/unset = XLA VJP of the banded formulation).
 
@@ -57,7 +57,6 @@ def _use_pallas_bwd(dtype) -> bool:
     but that measures transfer overlap through the dev relay, not the
     kernels; see tools/bench_train_step.py --h2d.)
     """
-    del dtype
     import os
 
     flag = os.environ.get("RECONVAT_PALLAS_BWD")
@@ -67,7 +66,7 @@ def _use_pallas_bwd(dtype) -> bool:
 def _pallas_bwd(window, block, residuals, g):
     q, kpad, vpad, rel = residuals
 
-    if _use_pallas_bwd(q.dtype):
+    if _use_pallas_bwd():
         from ..ops.pallas_attention_bwd import pallas_banded_backward
 
         dq, dk, dv, drel = pallas_banded_backward(q, kpad, vpad, rel, g,
@@ -92,9 +91,11 @@ banded_attention_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 def resolve_attn_impl(impl: str) -> str:
     """Resolve the 'auto' attention implementation.
 
-    Production default is the fused Pallas kernel on a single TPU chip
-    (measured 1.64x train-step win in bf16, 3.4x forward in fp32 — see
-    _use_pallas_bwd and README). Everywhere else 'auto' means the XLA
+    Production default is the fused Pallas forward on a single TPU chip:
+    measured +1.7% end-to-end inference (11,853 vs 11,654 audio-s/s); on
+    the HBM-bound train step every impl combination is within +-1.5%, so
+    the backward stays the XLA VJP (full measurements in
+    _use_pallas_bwd's docstring). Everywhere else 'auto' means the XLA
     banded formulation: on CPU Pallas only interprets (slow), and under a
     multi-chip GSPMD mesh the sequence-sharded halo exchange is handled by
     XLA for the einsum path but would need an explicit shard_map wrapper

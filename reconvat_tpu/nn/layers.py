@@ -64,8 +64,10 @@ class BiLSTM(nn.Module):
     """Bidirectional LSTM, output width = 2 * hidden_size.
 
     torch.nn.LSTM semantics (gate order i,f,g,o; effective bias =
-    bias_ih + bias_hh; uniform(+-1/sqrt(H)) init) — parity-tested against
-    the reference's `torch.nn.LSTM` in test_onsets_frames.py.
+    bias_ih + bias_hh; weights U(+-1/sqrt(H)), fused bias = sum of two
+    independent U(+-1/sqrt(H)) draws matching torch's b_ih + b_hh
+    distribution) — parity-tested against the reference's
+    `torch.nn.LSTM` in test_onsets_frames.py.
 
     TPU-first: the input projection for every timestep is hoisted out of
     the recurrence into one large (B*T, F) x (F, 4H) MXU matmul per
@@ -88,11 +90,18 @@ class BiLSTM(nn.Module):
             # torch LSTM init: U(-1/sqrt(H), 1/sqrt(H))
             return init(key, shape, dtype) - 1.0 / np.sqrt(H)
 
+        def bias_init(key, shape, dtype=jnp.float32):
+            # the fused bias stands for torch's b_ih + b_hh: the sum of two
+            # independent U(-1/sqrt(H), 1/sqrt(H)) draws (triangular on
+            # +-2/sqrt(H)), so fresh-init variance matches torch exactly
+            k1, k2 = jax.random.split(key)
+            return shifted(k1, shape, dtype) + shifted(k2, shape, dtype)
+
         outs = []
         for direction in ("fwd", "bwd"):
             w_ih = self.param(f"{direction}_w_ih", shifted, (F, 4 * H))
             w_hh = self.param(f"{direction}_w_hh", shifted, (H, 4 * H))
-            bias = self.param(f"{direction}_bias", shifted, (4 * H,))
+            bias = self.param(f"{direction}_bias", bias_init, (4 * H,))
 
             xw = jnp.einsum("btf,fg->btg", x, w_ih) + bias   # hoisted
             xw = jnp.swapaxes(xw, 0, 1)                      # (T, B, 4H)

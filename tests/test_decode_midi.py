@@ -52,6 +52,86 @@ def test_extract_notes_edge_cases():
     assert len(p) == 0 and len(i) == 0
 
 
+def _pack_host(roll_bool):
+    """Host mirror of models.common.pack_roll_device's bit layout."""
+    T, P = roll_bool.shape
+    K = -(-P // 8)
+    bits = np.pad(roll_bool.astype(np.uint8), ((0, 0), (0, K * 8 - P)))
+    return np.packbits(bits, axis=-1, bitorder="little")
+
+
+@pytest.mark.parametrize("rule", ["rule1", "rule2"])
+@pytest.mark.parametrize("n_pitches", [88, 12, 64, 100])
+def test_extract_notes_packed_batch_matches_float_path(rule, n_pitches):
+    """The batched bit-packed native decode (serving hot path) must agree
+    note-for-note with the parity-tested float path on every lane split
+    (P < 64, = 64, 64 < P < 128)."""
+    rng = np.random.RandomState(7)
+    B, T = 5, 300
+    out_expected, packed_on, packed_fr = [], [], []
+    for b in range(B):
+        on = rng.rand(T, n_pitches) < 0.05
+        fr = (rng.rand(T, n_pitches) < 0.2) | on
+        if b == 1:
+            fr[:] = on  # aliased rolls (ReconVAT transcribe contract)
+        if b == 2:
+            on[:] = False
+            fr[:] = False  # empty item inside the batch
+        on[0, 0] = fr[0, 0] = b == 3  # first-frame edge
+        packed_on.append(_pack_host(on))
+        packed_fr.append(_pack_host(fr))
+        out_expected.append(decode.extract_notes_wo_velocity(
+            on.astype(np.float32), fr.astype(np.float32), rule=rule))
+    got = decode.extract_notes_packed_batch(
+        np.stack(packed_on), np.stack(packed_fr), n_pitches=n_pitches,
+        rule=rule)
+    assert len(got) == B
+    for (p_exp, i_exp), (p_got, i_got) in zip(out_expected, got):
+        np.testing.assert_array_equal(p_got, p_exp)
+        np.testing.assert_array_equal(np.asarray(i_got).reshape(-1, 2),
+                                      np.asarray(i_exp).reshape(-1, 2))
+
+
+def test_extract_notes_packed_batch_default_frames_and_fallback():
+    rng = np.random.RandomState(3)
+    on = rng.rand(100, 88) < 0.04
+    packed = _pack_host(on)[None]
+    exp = decode.extract_notes_wo_velocity(on.astype(np.float32),
+                                           on.astype(np.float32),
+                                           rule="rule2")
+    # frames_packed=None aliases the onset roll
+    (p, i), = decode.extract_notes_packed_batch(packed)
+    np.testing.assert_array_equal(p, exp[0])
+    np.testing.assert_array_equal(np.asarray(i).reshape(-1, 2),
+                                  np.asarray(exp[1]).reshape(-1, 2))
+    # numpy fallback path (native disabled) must agree too
+    import reconvat_tpu.decode as dec
+    saved = dec._NATIVE
+    dec._NATIVE = None
+    try:
+        (p2, i2), = decode.extract_notes_packed_batch(packed)
+    finally:
+        dec._NATIVE = saved
+    np.testing.assert_array_equal(p2, p)
+    np.testing.assert_array_equal(np.asarray(i2).reshape(-1, 2),
+                                  np.asarray(i).reshape(-1, 2))
+
+
+def test_pack_roll_device_layout():
+    """Device packing and host unpack are inverse bijections, and the
+    device layout equals np.packbits(bitorder='little')."""
+    jnp = pytest.importorskip("jax.numpy")
+    from reconvat_tpu.models.common import pack_roll_device
+
+    rng = np.random.RandomState(11)
+    probs = rng.rand(2, 50, 88).astype(np.float32)
+    packed = np.asarray(pack_roll_device(jnp.asarray(probs)))
+    expected = np.stack([_pack_host(probs[b] > 0.5) for b in range(2)])
+    np.testing.assert_array_equal(packed, expected)
+    np.testing.assert_array_equal(decode.unpack_roll(packed),
+                                  probs > 0.5)
+
+
 @pytest.mark.parametrize("seed", [0, 5])
 def test_extract_notes_with_velocity_matches_reference(seed):
     torch = pytest.importorskip("torch")

@@ -39,6 +39,27 @@ def test_bilstm_matches_torch():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_bilstm_fresh_bias_matches_torch_distribution():
+    """Fused bias stands for torch's b_ih + b_hh: two independent
+    U(+-1/sqrt(H)) draws summed (triangular on +-2/sqrt(H)). A single
+    uniform draw would never exceed 1/sqrt(H); the correct sum does with
+    probability 1/4 per element."""
+    H = 64
+    mod = BiLSTM(H)
+    x = jnp.zeros((1, 4, 8), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(42), x)["params"]
+    bound = 1.0 / np.sqrt(H)
+    for direction in ("fwd", "bwd"):
+        b = np.asarray(params[f"{direction}_bias"])
+        assert b.shape == (4 * H,)
+        assert np.all(np.abs(b) <= 2 * bound + 1e-7)
+        # with 256 samples, P(none exceeds bound) = 0.75^256 ~ 1e-32
+        assert np.any(np.abs(b) > bound)
+        # and the weights stay single-draw uniform
+        w = np.asarray(params[f"{direction}_w_ih"])
+        assert np.all(np.abs(w) <= bound + 1e-7)
+
+
 def test_convstack_matches_reference():
     torch = pytest.importorskip("torch")
     ofv = reference_oracle.reference_module("onset_frame_VAT")

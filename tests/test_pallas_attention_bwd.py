@@ -94,11 +94,11 @@ def test_backward_selection_flag(monkeypatch):
     from reconvat_tpu.nn.attention import _use_pallas_bwd
 
     monkeypatch.delenv("RECONVAT_PALLAS_BWD", raising=False)
-    assert not _use_pallas_bwd(jnp.bfloat16)
+    assert not _use_pallas_bwd()
     monkeypatch.setenv("RECONVAT_PALLAS_BWD", "0")
-    assert not _use_pallas_bwd(jnp.bfloat16)
+    assert not _use_pallas_bwd()
     monkeypatch.setenv("RECONVAT_PALLAS_BWD", "1")
-    assert _use_pallas_bwd(jnp.float32)
+    assert _use_pallas_bwd()
 
 
 def test_auto_impl_resolution():
