@@ -1,8 +1,14 @@
 """Benchmark: audio-seconds transcribed per second per chip.
 
 Measures the flagship ReconVAT transcription path end to end on one chip:
-device compute (mel frontend + UNet + reconstruction chain) + host decode
-(posteriogram -> note events). Baseline is the north-star 50x realtime
+device compute (mel frontend + UNet transcriber) + host decode
+(posteriogram -> note events). The reference `transcribe` computes the
+reconstruction chain eagerly and discards it — only the first-pass
+pianoroll reaches the output (`model/self_attention_VAT.py:1307-1312`);
+under jit XLA dead-code-eliminates that discarded work (verified: the
+full-chain and transcriber-only graphs compile to identical FLOPs), so
+the measured graph is the transcriber forward. Baseline is the
+north-star 50x realtime
 (BASELINE.md — the reference publishes no numbers), so
 vs_baseline = realtime_factor / 50.
 
@@ -134,10 +140,12 @@ def main():
     e2e = audio_seconds_per_batch * iters / (time.perf_counter() - t0)
 
     result = {
-        "metric": "audio-seconds transcribed/sec/chip (ReconVAT: mel "
-                  "frontend + UNet + reconstruction chain + D2H + host "
-                  "note decode; audio pre-staged on device, pipelined "
-                  "with host decode)",
+        "metric": "audio-seconds transcribed/sec/chip (ReconVAT "
+                  "deployment: mel frontend + UNet transcriber + D2H + "
+                  "host note decode; the reference's compute-and-discard "
+                  "reconstruction chain is dead-code-eliminated by XLA; "
+                  "audio pre-staged on device, pipelined with host "
+                  "decode)",
         "value": round(resident, 2),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(resident / 50.0, 3),

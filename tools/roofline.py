@@ -26,6 +26,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=640)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--infer", action="store_true",
+                    help="account the transcribe forward (bench.py's "
+                         "graph incl. threshold+bitpack; the discarded "
+                         "reconstruction chain is DCE'd) instead of the "
+                         "train step")
+    ap.add_argument("--attn", default="xla",
+                    help="attention impl for --infer (default xla: the "
+                         "Pallas custom call is opaque to cost_analysis)")
     args = ap.parse_args()
 
     import jax
@@ -50,11 +58,29 @@ def main():
         }
 
     dtype = None if args.dtype in ("", "fp32", "float32") else args.dtype
-    model = ReconVAT(reconstruction=True, compute_dtype=dtype)
-    state = create_train_state(model, jax.random.PRNGKey(0), seq_frames=F)
-    step = make_train_step(model, 1.0, vat=True, use_unlabeled=True)
-    compiled = step.lower(state, batch(0), batch(1),
-                          jax.random.PRNGKey(1)).compile()
+    if args.infer:
+        from reconvat_tpu.models.common import pack_roll_device
+
+        model = ReconVAT(reconstruction=True, attn_impl=args.attn,
+                         compute_dtype=dtype)
+        variables = model.init(jax.random.PRNGKey(0), seq_frames=F)
+
+        def fwd(variables, audio_i16):
+            import jax.numpy as jnp
+
+            audio = audio_i16.astype(jnp.float32) / 32768.0
+            preds = model.transcribe(variables, audio)
+            return pack_roll_device(preds["frame"])
+
+        audio = (rng.randn(B, F * 512) * 3276.8).astype(np.int16)
+        compiled = jax.jit(fwd).lower(variables, audio).compile()
+    else:
+        model = ReconVAT(reconstruction=True, compute_dtype=dtype)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   seq_frames=F)
+        step = make_train_step(model, 1.0, vat=True, use_unlabeled=True)
+        compiled = step.lower(state, batch(0), batch(1),
+                              jax.random.PRNGKey(1)).compile()
 
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
