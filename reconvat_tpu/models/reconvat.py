@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..nn.attention import MultiHeadAttention1D
-from ..nn.unet import Decoder, Encoder, torch_conv_init
+from ..nn.unet import (Decoder, Encoder, torch_conv_init, unet_fold_specs,
+                       unfold_channels)
 from ..ops.normalize import Normalization
 from ..ops.spectrogram import frontend_precision, make_frontend
 from ..vat import VATConfig, vat_loss
@@ -36,10 +37,13 @@ class Spec2Roll(nn.Module):
     attn_block_size: int = 128
     attn_impl: str = "auto"
     dtype: str | None = None   # e.g. 'bfloat16' mixed precision
+    conv_layout: str = "nhwc"  # 'folded' = frequency-folded TPU layout
 
     def setup(self):
-        self.Unet1_encoder = Encoder(dtype=self.dtype)
-        self.Unet1_decoder = Decoder(num_instruments=1, dtype=self.dtype)
+        self.Unet1_encoder = Encoder(dtype=self.dtype,
+                                     layout=self.conv_layout)
+        self.Unet1_decoder = Decoder(num_instruments=1, dtype=self.dtype,
+                                     layout=self.conv_layout)
         self.lstm1 = MultiHeadAttention1D(
             out_features=self.n_bins * self.complexity, kernel_size=31,
             groups=self.complexity, block_size=self.attn_block_size,
@@ -49,7 +53,11 @@ class Spec2Roll(nn.Module):
     def __call__(self, x, train: bool = False):
         z, s, c = self.Unet1_encoder(x, train)
         y = self.Unet1_decoder(z, s, c, train)          # (B, T, F, 1)
-        h, a = self.lstm1(y[..., 0])
+        if self.conv_layout == "folded":
+            y3, = unfold_channels(y, unet_fold_specs(x.shape[2])[0], 1)
+        else:
+            y3 = y[..., 0]
+        h, a = self.lstm1(y3)
         pianoroll = nn.sigmoid(self.linear1(h))
         return pianoroll, a
 
@@ -61,10 +69,13 @@ class Roll2Spec(nn.Module):
     attn_block_size: int = 128
     attn_impl: str = "auto"
     dtype: str | None = None
+    conv_layout: str = "nhwc"
 
     def setup(self):
-        self.Unet2_encoder = Encoder(dtype=self.dtype)
-        self.Unet2_decoder = Decoder(num_instruments=1, dtype=self.dtype)
+        self.Unet2_encoder = Encoder(dtype=self.dtype,
+                                     layout=self.conv_layout)
+        self.Unet2_decoder = Decoder(num_instruments=1, dtype=self.dtype,
+                                     layout=self.conv_layout)
         self.lstm2 = MultiHeadAttention1D(
             out_features=self.n_bins * self.complexity, kernel_size=31,
             groups=4, block_size=self.attn_block_size,
@@ -76,6 +87,10 @@ class Roll2Spec(nn.Module):
         spec = nn.sigmoid(self.linear2(h))              # (B, T, F)
         z, s, c = self.Unet2_encoder(spec[..., None], train)
         reconstruction = self.Unet2_decoder(z, s, c, train)
+        if self.conv_layout == "folded":
+            r3, = unfold_channels(reconstruction,
+                                  unet_fold_specs(spec.shape[2])[0], 1)
+            reconstruction = r3[..., None]
         return reconstruction, a
 
 
@@ -86,16 +101,19 @@ class UNet(nn.Module):
     attn_block_size: int = 128
     attn_impl: str = "auto"
     dtype: str | None = None
+    conv_layout: str = "nhwc"
 
     def setup(self):
         self.transcriber = Spec2Roll(self.n_bins,
                                      attn_block_size=self.attn_block_size,
                                      attn_impl=self.attn_impl,
-                                     dtype=self.dtype)
+                                     dtype=self.dtype,
+                                     conv_layout=self.conv_layout)
         if self.reconstruction:
             self.reconstructor = Roll2Spec(
                 self.n_bins, attn_block_size=self.attn_block_size,
-                attn_impl=self.attn_impl, dtype=self.dtype)
+                attn_impl=self.attn_impl, dtype=self.dtype,
+                conv_layout=self.conv_layout)
 
     def __call__(self, x, train: bool = False):
         pianoroll, a = self.transcriber(x, train)
@@ -129,11 +147,15 @@ class ReconVAT:
     attn_block_size: int = 128
     attn_impl: str = "auto"    # 'auto' = fused Pallas kernel on single-chip
                                # TPU (no attention probs logged), else XLA
+    conv_layout: str = "auto"  # 'auto' = frequency-folded U-Net on TPU
+                               # (see nn/unet.py), plain NHWC elsewhere
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
                                       # (params/BN/heads/losses stay fp32)
     n_heads: int = 4  # for attention visualization metadata
 
     def __post_init__(self):
+        from ..nn.unet import resolve_conv_layout
+
         self.frontend, self.n_bins = make_frontend(
             self.spec,
             precision=frontend_precision(self.compute_dtype))
@@ -141,6 +163,7 @@ class ReconVAT:
                            reconstruction=self.reconstruction,
                            attn_block_size=self.attn_block_size,
                            attn_impl=self.attn_impl,
+                           conv_layout=resolve_conv_layout(self.conv_layout),
                            dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         # spec image is (B, T, F, 1): the per-vector L2 norm of the VAT

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..nn.attention import MultiHeadAttention1D
-from ..nn.unet import Decoder, Encoder, torch_conv_init
+from ..nn.unet import (Decoder, Encoder, torch_conv_init, unet_fold_specs,
+                       unfold_channels)
 from ..ops.normalize import Normalization
 from ..ops.spectrogram import frontend_precision, make_frontend
 from ..vat import VATConfig, vat_loss
@@ -59,10 +60,13 @@ class OnsetSpec2Roll(nn.Module):
     attn_block_size: int = 128
     attn_impl: str = "auto"
     dtype: str | None = None
+    conv_layout: str = "nhwc"
 
     def setup(self):
-        self.Unet1_encoder = Encoder(dtype=self.dtype)
-        self.Unet1_decoder = Decoder(num_instruments=2, dtype=self.dtype)
+        self.Unet1_encoder = Encoder(dtype=self.dtype,
+                                     layout=self.conv_layout)
+        self.Unet1_decoder = Decoder(num_instruments=2, dtype=self.dtype,
+                                     layout=self.conv_layout)
         self.linear_onset = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
         self.linear_feature = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
         self.combine_stack = Stack(hidden_dim=768, attn_size=31,
@@ -75,8 +79,13 @@ class OnsetSpec2Roll(nn.Module):
     def __call__(self, x, train: bool = False):
         z, s, c = self.Unet1_encoder(x, train)
         y = self.Unet1_decoder(z, s, c, train)        # (B, T, F, 2)
-        onset = nn.sigmoid(self.linear_onset(y[..., 0]))
-        feat = self.linear_feature(y[..., 1])
+        if self.conv_layout == "folded":
+            y0, y1 = unfold_channels(
+                y, unet_fold_specs(x.shape[2])[0], 2)
+        else:
+            y0, y1 = y[..., 0], y[..., 1]
+        onset = nn.sigmoid(self.linear_onset(y0))
+        feat = self.linear_feature(y1)
         h = jnp.concatenate([onset, feat], axis=-1)
         h, a = self.combine_stack(h, train)
         pianoroll = nn.sigmoid(h)
@@ -90,15 +99,18 @@ class UNetOnsetModule(nn.Module):
     attn_block_size: int = 128
     attn_impl: str = "auto"
     dtype: str | None = None
+    conv_layout: str = "nhwc"
 
     def setup(self):
         self.transcriber = OnsetSpec2Roll(
             self.n_bins, attn_block_size=self.attn_block_size,
-            attn_impl=self.attn_impl, dtype=self.dtype)
+            attn_impl=self.attn_impl, dtype=self.dtype,
+            conv_layout=self.conv_layout)
         if self.reconstruction:
             self.reconstructor = Roll2Spec(
                 self.n_bins, attn_block_size=self.attn_block_size,
-                attn_impl=self.attn_impl, dtype=self.dtype)
+                attn_impl=self.attn_impl, dtype=self.dtype,
+                conv_layout=self.conv_layout)
 
     def __call__(self, x, train: bool = False):
         pianoroll, onset, a = self.transcriber(x, train)
@@ -128,18 +140,23 @@ class UNetOnset:
     attn_block_size: int = 128
     attn_impl: str = "auto"   # 'auto' = fused Pallas kernel on single-chip
                               # TPU (no attention probs logged), else XLA
+    conv_layout: str = "auto"  # 'auto' = frequency-folded U-Net on TPU
     compute_dtype: str | None = None
     n_heads: int = 4
 
     def __post_init__(self):
+        from ..nn.unet import resolve_conv_layout
+
         self.frontend, self.n_bins = make_frontend(
             self.spec,
             precision=frontend_precision(self.compute_dtype))
-        self.module = UNetOnsetModule(n_bins=self.n_bins,
-                                      reconstruction=self.reconstruction,
-                                      attn_block_size=self.attn_block_size,
-                                      attn_impl=self.attn_impl,
-                                      dtype=self.compute_dtype)
+        self.module = UNetOnsetModule(
+            n_bins=self.n_bins,
+            reconstruction=self.reconstruction,
+            attn_block_size=self.attn_block_size,
+            attn_impl=self.attn_impl,
+            conv_layout=resolve_conv_layout(self.conv_layout),
+            dtype=self.compute_dtype)
         self.normalize = Normalization(self.mode)
         self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
                                  kl_div=self.kl_div, norm_axis=2)

@@ -66,14 +66,20 @@ def test_sharded_train_step_matches_single_device():
 
 
 @pytest.mark.slow
-def test_sharded_forward_activations_exact():
+@pytest.mark.parametrize("conv_layout", ["nhwc", "folded"])
+def test_sharded_forward_activations_exact(conv_layout):
     """Spec-level check (VERDICT weak #4): the sharded *forward*
     activations must match the unsharded ones to tight tolerance at
     HIGHEST matmul precision — a subtly wrong sp halo exchange would
     corrupt the boundary frames of the posteriogram, which the train-step
-    test's 95%-of-params criterion could miss."""
+    test's 95%-of-params criterion could miss.
+
+    Runs both U-Net layouts: 'folded' is the TPU default
+    (nn/unet.resolve_conv_layout), so its dp x sp sharding behavior —
+    time axis stays axis 1 of the folded (B, T, blocks, k*C) tensors —
+    must be proven on the virtual mesh too."""
     frames, batch = 64, 4
-    model = ReconVAT(reconstruction=True)
+    model = ReconVAT(reconstruction=True, conv_layout=conv_layout)
     variables = model.init(jax.random.PRNGKey(0), seq_frames=frames)
     x = np.random.RandomState(5).rand(batch, frames, 229, 1) \
         .astype(np.float32)
