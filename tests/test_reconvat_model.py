@@ -27,7 +27,12 @@ def _build_reference_unet(reconstruction=True):
     return ref.eval()
 
 
-def test_unet_forward_matches_reference():
+@pytest.mark.parametrize("conv_layout", ["nhwc", "folded"])
+def test_unet_forward_matches_reference(conv_layout):
+    """Full-forward parity against the live reference torch UNet with
+    converted weights, in both U-Net computation layouts — 'folded' is
+    the production TPU layout (nn/unet.resolve_conv_layout), so it gets
+    the same direct torch oracle, not just transitivity through nhwc."""
     torch = pytest.importorskip("torch")
     ref = _build_reference_unet()
     x = np.random.RandomState(0).rand(1, 64, 229, 1).astype(np.float32)
@@ -35,7 +40,7 @@ def test_unet_forward_matches_reference():
         rec_ref, roll_ref, roll2_ref, a_ref = ref(
             torch.tensor(np.transpose(x, (0, 3, 1, 2))))
 
-    model = UNet(n_bins=229, reconstruction=True)
+    model = UNet(n_bins=229, reconstruction=True, conv_layout=conv_layout)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     converted, report = torch_to_flax(ref.state_dict(), variables)
     assert not _filtered(report), _filtered(report)
