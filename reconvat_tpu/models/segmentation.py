@@ -6,8 +6,25 @@ with hand-computed TF-SAME padding, two 17x17 local 2D-attention layers at
 the 256-channel bottleneck, a transpose-conv decoder with Keras SAME output
 trimming, and a final Linear(N_BINS -> 88) inference head.
 
-All activations NHWC. TF-SAME padding and the transpose-conv trimming
-reproduce the reference pixel-exactly (`model/Segmentation.py:76-133`).
+TF-SAME padding and the transpose-conv trimming reproduce the reference
+pixel-exactly (`model/Segmentation.py:76-133`).
+
+Two computation layouts over the same parameter tree (same scheme as the
+flagship U-Net, `nn/unet.py`):
+
+- ``nhwc``: plain layout. On TPU the 32/64-channel full- and
+  half-resolution levels tile-pad their channel minor dim to 128 lanes.
+- ``folded``: frequency space-to-depth folded into channels so those
+  levels present exactly 128 lanes: k=4 at full resolution (32 ch),
+  k=4 at half resolution (32 ch, re-folded after the stride-2
+  downsampler since the channel width does not double), k=2 at quarter
+  resolution (64 ch); the 128/256-channel deep levels and the 2D
+  attention bottleneck run unfolded. TF-SAME freq padding is absorbed
+  into the kernel scatters (`fold_conv_kernel` left-pad argument);
+  TF-SAME right-crops of transpose convs land in masked carry bins.
+  Documented divergence: dropout masks are drawn on the folded shapes,
+  so a folded training run consumes a different (identically
+  distributed) dropout stream than an NHWC run with the same seed.
 """
 from __future__ import annotations
 
@@ -19,13 +36,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..nn.unet import TorchConvTranspose, torch_conv_init
+from ..nn.unet import (FoldSpec, MaskedBatchNorm, TorchConv,
+                       TorchConvTranspose, fold_concat, refold,
+                       torch_conv_init, unfold_channels)
 from ..ops.normalize import Normalization
 from ..ops.spectrogram import frontend_precision, make_frontend
 from ..vat import VATConfig, vat_loss
 from .losses import binary_cross_entropy
 
 N_KEYS = C.N_KEYS
+
+
+def resolve_seg_layout(layout: str) -> str:
+    """Resolve the 'auto' Segmentation computation layout.
+
+    Currently 'auto' -> 'nhwc' everywhere: the folded layout is
+    implemented and parity-tested but its step-time win has not yet been
+    measured on a chip (the flagship's was); flip this to the measured
+    winner. `RECONVAT_SEG_LAYOUT` overrides.
+    """
+    if layout != "auto":
+        return layout
+    import os
+
+    return os.environ.get("RECONVAT_SEG_LAYOUT") or "nhwc"
 
 
 def _pad_amount(size, k, s):
@@ -57,8 +91,11 @@ def transpose_padding_same(x, input_hw, stride):
     return x
 
 
-def _bn():
-    return nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+def _time_same_pad(x, kh, sh):
+    """TF-SAME padding on the time axis only (freq pads are folded into
+    the kernel scatters on the folded path)."""
+    ph = _pad_amount(x.shape[1], kh, sh)
+    return jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2), (0, 0), (0, 0)))
 
 
 class ConvBlockSeg(nn.Module):
@@ -71,35 +108,63 @@ class ConvBlockSeg(nn.Module):
     dtype: str | None = None   # computation dtype; params/BN stay fp32
 
     def setup(self):
-        self.conv1 = nn.Conv(self.out, self.ksize, strides=self.stride,
-                             padding="VALID", kernel_init=torch_conv_init,
-                             dtype=self.dtype)
-        self.bn1 = _bn()
+        # TorchConv == nn.Conv parameter tree (kernel HWIO + bias);
+        # swapped for its folded application modes
+        self.conv1 = TorchConv(self.out, self.ksize, strides=self.stride,
+                               padding=(0, 0), dtype=self.dtype)
+        self.bn1 = MaskedBatchNorm(momentum=0.9)
         self.dropout1 = nn.Dropout(self.dropout_rate)
-        self.conv2 = nn.Conv(self.out, self.ksize, strides=(1, 1),
-                             padding="VALID", kernel_init=torch_conv_init,
-                             dtype=self.dtype)
-        self.bn2 = _bn()
+        self.conv2 = TorchConv(self.out, self.ksize, strides=(1, 1),
+                               padding=(0, 0), dtype=self.dtype)
+        self.bn2 = MaskedBatchNorm(momentum=0.9)
         self.dropout2 = nn.Dropout(self.dropout_rate)
-        self.conv_skip = nn.Conv(self.out, (1, 1), strides=self.stride,
-                                 padding="VALID",
-                                 kernel_init=torch_conv_init,
-                                 dtype=self.dtype)
+        self.conv_skip = TorchConv(self.out, (1, 1), strides=self.stride,
+                                   padding=(0, 0), dtype=self.dtype)
 
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, fs_in: FoldSpec | None = None,
+                 fs_mid: FoldSpec | None = None,
+                 fs_out: FoldSpec | None = None):
+        if fs_in is None:
+            skip = x
+            one = FoldSpec(x.shape[2], 1)
+            x = self.bn1(nn.relu(x), not train, one)
+            x = self.dropout1(x, deterministic=not train)
+            x = tf_same_pad(x, self.ksize, self.stride)
+            x = self.conv1(x)
+            one2 = FoldSpec(x.shape[2], 1)
+            x = self.bn2(nn.relu(x), not train, one2)
+            x = self.dropout2(x, deterministic=not train)
+            x = tf_same_pad(x, self.ksize, (1, 1))
+            x = self.conv2(x)
+            if self.stride != (1, 1):
+                skip = tf_same_pad(skip, (1, 1), self.stride)
+                skip = self.conv_skip(skip)
+            return x + skip
+
+        # folded: fs_mid = conv1's output fold (fs_in.k // freq stride);
+        # fs_out may re-fold block pairs back up (pure reshape)
+        kh, kw = self.ksize
+        sh, sw = self.stride
         skip = x
-        x = self.bn1(nn.relu(x), use_running_average=not train)
+        x = fs_in.mask_mul(self.bn1(nn.relu(x), not train, fs_in))
         x = self.dropout1(x, deterministic=not train)
-        x = tf_same_pad(x, self.ksize, self.stride)
-        x = self.conv1(x)
-        x = self.bn2(nn.relu(x), use_running_average=not train)
+        pl1 = _pad_amount(fs_in.F, kw, sw) // 2
+        x = self.conv1(_time_same_pad(x, kh, sh), fold_mode="gen",
+                       fold=fs_in, fold_out=fs_mid, f_pad=pl1)
+        if fs_mid.k != fs_out.k:
+            x = refold(x, fs_mid, fs_out)
+        x = fs_out.mask_mul(self.bn2(nn.relu(x), not train, fs_out))
         x = self.dropout2(x, deterministic=not train)
-        x = tf_same_pad(x, self.ksize, (1, 1))
-        x = self.conv2(x)
+        x = self.conv2(_time_same_pad(x, kh, 1), fold_mode="gen",
+                       fold=fs_out, fold_out=fs_out,
+                       f_pad=_pad_amount(fs_out.F, kw, 1) // 2)
         if self.stride != (1, 1):
-            skip = tf_same_pad(skip, (1, 1), self.stride)
-            skip = self.conv_skip(skip)
-        return x + skip
+            skip = self.conv_skip(_time_same_pad(skip, 1, sh),
+                                  fold_mode="gen", fold=fs_in,
+                                  fold_out=fs_mid, f_pad=0)
+            if fs_mid.k != fs_out.k:
+                skip = refold(skip, fs_mid, fs_out)
+        return fs_out.mask_mul(x + skip)
 
 
 class TransposeConvBlock(nn.Module):
@@ -112,37 +177,65 @@ class TransposeConvBlock(nn.Module):
     dtype: str | None = None
 
     def setup(self):
-        self.conv1 = nn.Conv(self.out, self.ksize, strides=(1, 1),
-                             padding="VALID", kernel_init=torch_conv_init,
-                             dtype=self.dtype)
-        self.bn1 = _bn()
+        self.conv1 = TorchConv(self.out, self.ksize, strides=(1, 1),
+                               padding=(0, 0), dtype=self.dtype)
+        self.bn1 = MaskedBatchNorm(momentum=0.9)
         self.dropout1 = nn.Dropout(self.dropout_rate)
         self.conv2 = TorchConvTranspose(self.out, self.ksize, self.stride,
                                         (0, 0), dtype=self.dtype)
-        self.bn2 = _bn()
+        self.bn2 = MaskedBatchNorm(momentum=0.9)
         self.dropout2 = nn.Dropout(self.dropout_rate)
         self.conv_skip = TorchConvTranspose(self.out, (1, 1), self.stride,
                                             (0, 0), dtype=self.dtype)
 
-    def __call__(self, x, target_hw, train: bool):
+    def __call__(self, x, target_hw, train: bool,
+                 fs_in: FoldSpec | None = None,
+                 fs_out: FoldSpec | None = None):
+        if fs_in is None:
+            skip = x
+            one = FoldSpec(x.shape[2], 1)
+            x = self.bn1(nn.relu(x), not train, one)
+            x = self.dropout1(x, deterministic=not train)
+            x = tf_same_pad(x, self.ksize, (1, 1))
+            x = self.conv1(x)
+            one2 = FoldSpec(x.shape[2], 1)
+            x = self.bn2(nn.relu(x), not train, one2)
+            x = self.dropout2(x, deterministic=not train)
+            input_hw = x.shape[1:3]
+            x = self.conv2(x)
+            x = transpose_padding_same(x, input_hw, self.stride)
+            # extra-pixel trim to encoder shape (`Segmentation.py:223-226`)
+            if x.shape[1] > target_hw[0]:
+                x = x[:, :-1]
+            if x.shape[2] > target_hw[1]:
+                x = x[:, :, :-1]
+            if self.stride != (1, 1):
+                skip = self.conv_skip(skip, output_size=x.shape[1:3])
+            return x + skip
+
+        # folded: fs_out covers target_hw[1] = the already-trimmed freq
+        # size (TF-SAME right-crops fall into masked carry bins)
+        kh, kw = self.ksize
+        assert fs_out.F == target_hw[1] and fs_out.k == self.stride[1] \
+            * fs_in.k
         skip = x
-        x = self.bn1(nn.relu(x), use_running_average=not train)
+        x = fs_in.mask_mul(self.bn1(nn.relu(x), not train, fs_in))
         x = self.dropout1(x, deterministic=not train)
-        x = tf_same_pad(x, self.ksize, (1, 1))
-        x = self.conv1(x)
-        x = self.bn2(nn.relu(x), use_running_average=not train)
+        x = self.conv1(_time_same_pad(x, kh, 1), fold_mode="gen",
+                       fold=fs_in, fold_out=fs_in,
+                       f_pad=_pad_amount(fs_in.F, kw, 1) // 2)
+        x = fs_in.mask_mul(self.bn2(nn.relu(x), not train, fs_in))
         x = self.dropout2(x, deterministic=not train)
-        input_hw = x.shape[1:3]
-        x = self.conv2(x)
-        x = transpose_padding_same(x, input_hw, self.stride)
-        # extra-pixel trim to the encoder shape (`Segmentation.py:223-226`)
-        if x.shape[1] > target_hw[0]:
-            x = x[:, :-1]
-        if x.shape[2] > target_hw[1]:
-            x = x[:, :, :-1]
-        if self.stride != (1, 1):
-            skip = self.conv_skip(skip, output_size=x.shape[1:3])
-        return x + skip
+        # raw transpose time = stride*T + (kh - stride); crop to
+        # stride*T (transpose_padding_same, top crop always 0), then
+        # the extra-pixel trim to the encoder time
+        tt = min(x.shape[1] * self.stride[0], target_hw[0])
+        x = self.conv2(x, output_size=(tt, None), fold_mode="genT",
+                       fold=fs_in, fold_out=fs_out)
+        skip = self.conv_skip(skip, output_size=(tt, None),
+                              fold_mode="genT", fold=fs_in,
+                              fold_out=fs_out)
+        return fs_out.mask_mul(x + skip)
 
 
 class MultiHeadAttention2D(nn.Module):
@@ -213,6 +306,21 @@ class MultiHeadAttention2D(nn.Module):
         return out.reshape(B, H, W, Co).astype(jnp.float32), attn
 
 
+def seg_fold_specs(F: int):
+    """FoldSpecs for the folded Segmentation levels.
+
+    (f0, f1m, f1, f2, f3): full resolution k=4 (32 ch -> 128 lanes),
+    half resolution k=2 pre-refold / k=4 post-refold (32 ch), quarter
+    resolution k=2 (64 ch -> 128 lanes), eighth resolution k=1 (128 ch,
+    unfolded from here down). TF-SAME stride-2 output size is ceil(F/2).
+    """
+    F1 = -(-F // 2)
+    F2 = -(-F1 // 2)
+    F3 = -(-F2 // 2)
+    return (FoldSpec(F, 4), FoldSpec(F1, 2), FoldSpec(F1, 4),
+            FoldSpec(F2, 2), FoldSpec(F3, 1))
+
+
 class SegEncoder(nn.Module):
     """Reference Segmentation `Encoder` (`model/Segmentation.py:356-431`)."""
     dropout_rate: float = 0.4
@@ -220,10 +328,8 @@ class SegEncoder(nn.Module):
 
     def setup(self):
         d, dt = self.dropout_rate, self.dtype
-        self.encoding_layer = nn.Conv(32, (7, 7), strides=(1, 1),
-                                      padding="VALID",
-                                      kernel_init=torch_conv_init,
-                                      dtype=dt)
+        self.encoding_layer = TorchConv(32, (7, 7), strides=(1, 1),
+                                        padding=(0, 0), dtype=dt)
         self.layer1a = ConvBlockSeg(32, 32, (3, 3), (2, 2), d, dt)
         self.layer1b = ConvBlockSeg(32, 32, (3, 3), (1, 1), d, dt)
         self.layer2a = ConvBlockSeg(32, 64, (3, 3), (2, 2), d, dt)
@@ -239,19 +345,41 @@ class SegEncoder(nn.Module):
         self.layer4d = ConvBlockSeg(256, 256, (3, 3), (1, 1), d, dt)
         self.layer4e = ConvBlockSeg(256, 256, (3, 3), (1, 1), d, dt)
 
-    def __call__(self, x, train: bool):
-        original_hw = x.shape[1:3]
-        x = tf_same_pad(x, (7, 7), (1, 1))
-        x = self.encoding_layer(x)
-        x = self.layer1a(x, train)
-        x = self.layer1b(x, train)
-        en_l1, hw1 = x, x.shape[1:3]
-        x = self.layer2a(x, train)
-        x = self.layer2b(x, train)
-        x = self.layer2c(x, train)
-        en_l2, hw2 = x, x.shape[1:3]
-        x = self.layer3a(x, train)
-        x = self.layer3b(x, train)
+    def __call__(self, x, train: bool, folded: bool = False):
+        if not folded:
+            original_hw = x.shape[1:3]
+            x = tf_same_pad(x, (7, 7), (1, 1))
+            x = self.encoding_layer(x)
+            x = self.layer1a(x, train)
+            x = self.layer1b(x, train)
+            en_l1, hw1 = x, x.shape[1:3]
+            x = self.layer2a(x, train)
+            x = self.layer2b(x, train)
+            x = self.layer2c(x, train)
+            en_l2, hw2 = x, x.shape[1:3]
+        else:
+            f0, f1m, f1, f2, f3 = seg_fold_specs(x.shape[2])
+            original_hw = x.shape[1:3]
+            xf = f0.fold3(x[..., 0])         # spec input is 1-channel
+            xf = _time_same_pad(xf, 7, 1)
+            x = self.encoding_layer(xf, fold_mode="gen", fold=f0,
+                                    fold_out=f0,
+                                    f_pad=_pad_amount(f0.F, 7, 1) // 2)
+            x = f0.mask_mul(x)
+            x = self.layer1a(x, train, f0, f1m, f1)
+            x = self.layer1b(x, train, f1, f1, f1)
+            en_l1, hw1 = x, (x.shape[1], f1.F)
+            x = self.layer2a(x, train, f1, f2, f2)
+            x = self.layer2b(x, train, f2, f2, f2)
+            x = self.layer2c(x, train, f2, f2, f2)
+            en_l2, hw2 = x, (x.shape[1], f2.F)
+            # layer3a unfolds: k_out = 1, blocks == bins -> plain NHWC
+            x = self.layer3a(x, train, f2, f3, f3)
+        if folded:
+            x = self.layer3b(x, train)
+        else:
+            x = self.layer3a(x, train)
+            x = self.layer3b(x, train)
         x = self.layer3c(x, train)
         x = self.layer3d(x, train)
         en_l3, hw3 = x, x.shape[1:3]
@@ -273,28 +401,39 @@ class DecoderBlockSeg(nn.Module):
     dtype: str | None = None
 
     def setup(self):
-        self.layer1a = nn.Conv(self.hidden_channels, (1, 1), strides=(1, 1),
-                               padding="VALID", kernel_init=torch_conv_init,
-                               dtype=self.dtype)
-        self.bn = _bn()
-        self.bn_en = _bn()
+        self.layer1a = TorchConv(self.hidden_channels, (1, 1),
+                                 strides=(1, 1), padding=(0, 0),
+                                 dtype=self.dtype)
+        self.bn = MaskedBatchNorm(momentum=0.9)
+        self.bn_en = MaskedBatchNorm(momentum=0.9)
         self.dropout1 = nn.Dropout(self.dropout_rate)
         self.layer1b = TransposeConvBlock(self.input_channels,
                                           self.output_channels, (3, 3),
                                           (2, 2), self.dropout_rate,
                                           self.dtype)
 
-    def __call__(self, x, encoder_output, encoder_hw, train: bool):
+    def __call__(self, x, encoder_output, encoder_hw, train: bool,
+                 fs: FoldSpec | None = None,
+                 fs_out: FoldSpec | None = None):
+        if fs is None:
+            skip = x
+            one = FoldSpec(x.shape[2], 1)
+            x = self.bn(nn.relu(x), not train, one)
+            en_l = self.bn_en(nn.relu(encoder_output), not train, one)
+            x = jnp.concatenate([x, en_l], axis=-1)
+            x = self.dropout1(x, deterministic=not train)
+            x = self.layer1a(x)
+            x = x + skip
+            return self.layer1b(x, encoder_hw, train)
+
         skip = x
-        x = self.bn(nn.relu(x), use_running_average=not train)
-        en_l = self.bn_en(nn.relu(encoder_output),
-                          use_running_average=not train)
-        x = jnp.concatenate([x, en_l], axis=-1)
+        x = self.bn(nn.relu(x), not train, fs)
+        en_l = self.bn_en(nn.relu(encoder_output), not train, fs)
+        x = fold_concat(x, en_l, fs)
         x = self.dropout1(x, deterministic=not train)
-        x = self.layer1a(x)
-        x = x + skip
-        x = self.layer1b(x, encoder_hw, train)
-        return x
+        x = self.layer1a(x, fold_mode="diag", fold=fs)
+        x = fs.mask_mul(x + skip)
+        return self.layer1b(x, encoder_hw, train, fs, fs_out)
 
 
 class SegDecoder(nn.Module):
@@ -307,11 +446,27 @@ class SegDecoder(nn.Module):
         self.de_layer2 = DecoderBlockSeg(64, 64, 64, 64, d, dt)
         self.de_layer3 = DecoderBlockSeg(64, 32, 64, 64, d, dt)
 
-    def __call__(self, x, encoder_outputs, encoder_hws, train: bool):
-        x = self.de_layer1(x, encoder_outputs[-1], encoder_hws[-2], train)
-        x = self.de_layer2(x, encoder_outputs[-2], encoder_hws[-3], train)
-        x = self.de_layer3(x, encoder_outputs[-3], encoder_hws[-4], train)
-        return x
+    def __call__(self, x, encoder_outputs, encoder_hws, train: bool,
+                 folded: bool = False):
+        if not folded:
+            x = self.de_layer1(x, encoder_outputs[-1], encoder_hws[-2],
+                               train)
+            x = self.de_layer2(x, encoder_outputs[-2], encoder_hws[-3],
+                               train)
+            x = self.de_layer3(x, encoder_outputs[-3], encoder_hws[-4],
+                               train)
+            return x
+        # folded: en_l3 is unfolded (k=1), en_l2 at k=2, en_l1 at k=4;
+        # each up-block doubles the fold (k_out = 2*k_in)
+        f0, _, f1, f2, f3 = seg_fold_specs(encoder_hws[0][1])
+        x = self.de_layer1(x, encoder_outputs[-1], encoder_hws[-2], train,
+                           f3, f2)
+        x = self.de_layer2(x, encoder_outputs[-2], encoder_hws[-3], train,
+                           f2, f1)
+        ffin = FoldSpec(encoder_hws[0][1], 2 * f1.k)
+        x = self.de_layer3(x, encoder_outputs[-3], encoder_hws[-4], train,
+                           f1, ffin)
+        return x  # folded (B, T, ffin.blocks, ffin.k * out_channels)
 
 
 class SegmentationModule(nn.Module):
@@ -321,24 +476,25 @@ class SegmentationModule(nn.Module):
     out_class: int = 2
     dropout_rate: float = 0.4
     dtype: str | None = None   # compute dtype; heads/BN/params stay fp32
+    conv_layout: str = "nhwc"  # 'folded' = frequency-folded TPU layout
 
     def setup(self):
         d, dt = self.dropout_rate, self.dtype
         self.encoder = SegEncoder(d, dt)
         self.attention_layer1 = MultiHeadAttention2D(64, (17, 17), groups=1,
                                                      dtype=dt)
-        self.bn1 = _bn()
+        self.bn1 = MaskedBatchNorm(momentum=0.9)
         self.attention_layer2 = MultiHeadAttention2D(128, (17, 17),
                                                      groups=1, dtype=dt)
-        self.bn2 = _bn()
-        self.layer0a = nn.Conv(256, (1, 1), strides=(1, 1), padding="VALID",
-                               kernel_init=torch_conv_init, dtype=dt)
+        self.bn2 = MaskedBatchNorm(momentum=0.9)
+        self.layer0a = TorchConv(256, (1, 1), strides=(1, 1),
+                                 padding=(0, 0), dtype=dt)
         self.layer0b = TransposeConvBlock(256, 128, (3, 3), (2, 2), d, dt)
         self.decoder = SegDecoder(d, dt)
-        self.bn_last = _bn()
+        self.bn_last = MaskedBatchNorm(momentum=0.9)
         self.dropout_last = nn.Dropout(d)
-        self.conv_last = nn.Conv(self.out_class, (1, 1), strides=(1, 1),
-                                 padding="VALID", kernel_init=torch_conv_init)
+        self.conv_last = TorchConv(self.out_class, (1, 1), strides=(1, 1),
+                                   padding=(0, 0))
         self.inference_model = nn.Dense(N_KEYS, kernel_init=torch_conv_init)
 
     def __call__(self, x, train: bool = False):
@@ -346,28 +502,37 @@ class SegmentationModule(nn.Module):
 
         out_class == 1: (B, T, 88); out_class > 1: (B, T, F', out_class)
         mapped per-channel like the reference's un-squeezed Linear."""
-        x, encoder_outputs, encoder_hws = self.encoder(x, train)
+        folded = self.conv_layout == "folded"
+        F = x.shape[2]
+        x, encoder_outputs, encoder_hws = self.encoder(x, train, folded)
         en_l4 = x
+        one4 = FoldSpec(x.shape[2], 1)
         x, _ = self.attention_layer1(en_l4)
-        x = self.bn1(nn.relu(x), use_running_average=not train)
+        x = self.bn1(nn.relu(x), not train, one4)
         x, _ = self.attention_layer2(x)
-        x = self.bn2(nn.relu(x), use_running_average=not train)
+        x = self.bn2(nn.relu(x), not train, one4)
         x = jnp.concatenate([en_l4, x], axis=-1)
         x = self.layer0a(x)
         x = x + en_l4
         x = self.layer0b(x, encoder_hws[-1], train)
-        x = self.decoder(x, encoder_outputs, encoder_hws, train)
-        x = self.bn_last(nn.relu(x), use_running_average=not train)
-        x = self.dropout_last(x, deterministic=not train)
-        x = self.conv_last(x)                    # (B, T, F, out_class)
+        x = self.decoder(x, encoder_outputs, encoder_hws, train, folded)
+        if not folded:
+            one0 = FoldSpec(x.shape[2], 1)
+            x = self.bn_last(nn.relu(x), not train, one0)
+            x = self.dropout_last(x, deterministic=not train)
+            x = self.conv_last(x)                # (B, T, F, out_class)
+            chans = [x[..., i] for i in range(self.out_class)]
+        else:
+            ffin = FoldSpec(F, 8)
+            x = ffin.mask_mul(self.bn_last(nn.relu(x), not train, ffin))
+            x = self.dropout_last(x, deterministic=not train)
+            x = self.conv_last(x, fold_mode="diag", fold=ffin)
+            chans = unfold_channels(x, ffin, self.out_class)
         if self.out_class == 1:
-            x = x[..., 0]                        # (B, T, F)
-            x = self.inference_model(x)
-            return nn.sigmoid(x)
+            return nn.sigmoid(self.inference_model(chans[0]))
         # multi-instrument head: keep channels, linear over bins
-        x = jnp.moveaxis(x, -1, 1)               # (B, out_class, T, F)
-        x = self.inference_model(x)
-        return nn.sigmoid(x)
+        x = jnp.stack(chans, axis=1)             # (B, out_class, T, F)
+        return nn.sigmoid(self.inference_model(x))
 
 
 @dataclasses.dataclass
@@ -384,14 +549,17 @@ class SemanticSegmentation:
     n_heads: int = 1
     reconstruction: bool = False
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
+    conv_layout: str = "auto"  # 'auto' -> nhwc pending a chip measurement
+                               # (see resolve_seg_layout)
 
     def __post_init__(self):
         self.frontend, self.n_bins = make_frontend(
             self.spec,
             precision=frontend_precision(self.compute_dtype))
-        self.module = SegmentationModule(self.n_bins, self.out_class,
-                                         self.dropout_rate,
-                                         dtype=self.compute_dtype)
+        self.module = SegmentationModule(
+            self.n_bins, self.out_class, self.dropout_rate,
+            dtype=self.compute_dtype,
+            conv_layout=resolve_seg_layout(self.conv_layout))
         self.normalize = Normalization(self.mode)
         self.vat_cfg = VATConfig(xi=self.xi, eps=self.eps, n_power=1,
                                  kl_div=self.kl_div, norm_axis=2)

@@ -142,65 +142,127 @@ def unfold_channels(yf, fs: FoldSpec, n_ch: int):
             [:, :, :fs.F] for i in range(n_ch)]
 
 
-def _fold_kernel_3tap(K, fold: int):
-    """(kh, 3, Ci, Co) -> (kh, 3, fold*Ci, fold*Co) folded 3-tap kernel.
+def fold_conv_kernel(K, k_in: int, stride: int, pad: int):
+    """General folded conv kernel scatter.
 
-    Output fold position jj with freq tap df reads input position
-    jj+df-1 = dj*fold + jjp (dj = folded-block offset).
+    (kh, kw, Ci, Co) -> (kh, taps, k_in*Ci, k_out*Co) with
+    k_out = k_in // stride: a freq conv with input fold k_in, freq
+    stride, and symmetric-left freq zero padding `pad` becomes a
+    stride-1 conv over the folded-blocks axis. Output in-block position
+    jj with kernel freq tap df reads logical input bin
+    q = stride*jj + df - pad = dj*k_in + ii relative to the output
+    block's base; the scatter places K[:, df] at folded freq tap
+    (dj - dj_min), input channel block ii, output channel block jj.
+
+    Returns (Kf, pad_left_blocks) where pad_left_blocks = -dj_min is
+    the zero-block padding the folded conv needs on the low-freq side
+    (the high side is sized by the caller from the target block count).
     """
     kh, kw, ci, co = K.shape
-    assert kw == 3
-    Kf = jnp.zeros((kh, 3, fold * ci, fold * co), K.dtype)
-    for jj in range(fold):
-        for df in range(3):
-            dj, jjp = divmod(jj + df - 1, fold)
-            Kf = Kf.at[:, dj + 1, jjp * ci:(jjp + 1) * ci,
+    assert k_in % stride == 0, (k_in, stride)
+    k_out = k_in // stride
+    offs = [stride * jj + df - pad
+            for jj in range(k_out) for df in range(kw)]
+    dj_min = min(o // k_in for o in offs)
+    dj_max = max(o // k_in for o in offs)
+    taps = dj_max - dj_min + 1
+    Kf = jnp.zeros((kh, taps, k_in * ci, k_out * co), K.dtype)
+    for jj in range(k_out):
+        for df in range(kw):
+            dj, ii = divmod(stride * jj + df - pad, k_in)
+            Kf = Kf.at[:, dj - dj_min, ii * ci:(ii + 1) * ci,
                        jj * co:(jj + 1) * co].set(K[:, df])
+    return Kf, -dj_min
+
+
+def fold_convT_kernel(K_hwoi, k_in: int, stride: int):
+    """General folded transpose-conv kernel scatter (freq axis).
+
+    (kh, kw, Co, Ci) torch-HWOI transpose kernel -> (kh, taps,
+    k_in*Ci, k_out*Co) with k_out = stride*k_in, for use in a conv whose
+    time axis is the usual lhs-dilated flipped-kernel correlation (the
+    time axis of Kf is flipped here; the caller passes lhs_dilation on
+    time only). Freq transpose semantics: raw out bin m receives
+    x[j]*K[df] for m = stride*j + df, i.e. in-block out position mm with
+    tap df reads logical input bin rel = (mm - df)/stride when integral.
+    Left crops of the raw output must be zero (true for stride-2 TF-SAME
+    trimming and torch output_size resolution — asserted by callers);
+    right crops fall into masked carry bins.
+
+    Returns (Kf, pad_left_blocks).
+    """
+    kh, kw, co, ci = K_hwoi.shape
+    k_out = stride * k_in
+    Kt = K_hwoi[::-1]  # flip the (genuinely transposed) time axis
+    pairs = [(mm, df) for mm in range(k_out) for df in range(kw)
+             if (mm - df) % stride == 0]
+    rels = [(mm - df) // stride for mm, df in pairs]
+    dj_min = min(r // k_in for r in rels)
+    dj_max = max(r // k_in for r in rels)
+    taps = dj_max - dj_min + 1
+    Kf = jnp.zeros((kh, taps, k_in * ci, k_out * co), K_hwoi.dtype)
+    for mm, df in pairs:
+        dj, ii = divmod((mm - df) // stride, k_in)
+        Kf = Kf.at[:, dj - dj_min, ii * ci:(ii + 1) * ci,
+                   mm * co:(mm + 1) * co].set(
+                       jnp.transpose(Kt[:, df], (0, 2, 1)))
+    return Kf, -dj_min
+
+
+def _fold_kernel_3tap(K, fold: int):
+    """3x3 stride-1 pad-1 conv kernel, folded (fold_conv_kernel case)."""
+    Kf, pl = fold_conv_kernel(K, fold, 1, 1)
+    assert pl == 1 and Kf.shape[1] == 3
     return Kf
 
 
 def _fold_kernel_1x1(K, fold: int):
-    """(1, 1, Ci, Co) -> block-diagonal (1, 1, fold*Ci, fold*Co)."""
-    _, _, ci, co = K.shape
-    Kf = jnp.zeros((1, 1, fold * ci, fold * co), K.dtype)
-    for jj in range(fold):
-        Kf = Kf.at[:, :, jj * ci:(jj + 1) * ci,
-                   jj * co:(jj + 1) * co].set(K)
+    """1x1 conv kernel -> block-diagonal (fold_conv_kernel case)."""
+    Kf, pl = fold_conv_kernel(K, fold, 1, 0)
+    assert pl == 0 and Kf.shape[1] == 1
     return Kf
 
 
 def _fold_kernel_ds2(K, fold_in: int):
-    """Stride-2 2-tap downsampler: (kh, 2, Ci, Co) -> (kh, 1,
-    fold_in*Ci, (fold_in//2)*Co); the freq stride becomes a pure
-    channel contraction (out position jj reads in positions 2jj, 2jj+1
-    of the same folded block)."""
-    kh, kw, ci, co = K.shape
-    assert kw == 2 and fold_in >= 2
-    k_out = fold_in // 2
-    Kf = jnp.zeros((kh, 1, fold_in * ci, k_out * co), K.dtype)
-    for jj in range(k_out):
-        for d in range(2):
-            jjp = 2 * jj + d
-            Kf = Kf.at[:, 0, jjp * ci:(jjp + 1) * ci,
-                       jj * co:(jj + 1) * co].set(K[:, d])
+    """2x2-stride-2 downsampler: the freq stride becomes a pure channel
+    contraction (fold_conv_kernel case)."""
+    assert K.shape[1] == 2 and fold_in >= 2
+    Kf, pl = fold_conv_kernel(K, fold_in, 2, 0)
+    assert pl == 0 and Kf.shape[1] == 1
     return Kf
 
 
 def _fold_kernel_us2(K_hwoi, fold_in: int):
-    """Stride-2 2-tap upsampler (torch HWOI (2, 2, Co, Ci)) -> conv rhs
-    (2, 1, fold_in*Ci, 2*fold_in*Co) for a time-only lhs-dilated conv:
-    out fold position mm reads in position mm//2 with freq tap mm%2."""
-    kh, kw, co, ci = K_hwoi.shape
-    assert kh == 2 and kw == 2
-    k_out = 2 * fold_in
-    Kt = K_hwoi[::-1]  # flip the (genuinely transposed) time axis
-    Kf = jnp.zeros((2, 1, fold_in * ci, k_out * co), K_hwoi.dtype)
-    for mm in range(k_out):
-        jjp, d = divmod(mm, 2)
-        Kf = Kf.at[:, 0, jjp * ci:(jjp + 1) * ci,
-                   mm * co:(mm + 1) * co].set(
-                       jnp.transpose(Kt[:, d], (0, 2, 1)))
+    """2x2-stride-2 upsampler (fold_convT_kernel case): out fold
+    position mm reads in position mm//2 with freq tap mm%2."""
+    assert K_hwoi.shape[0] == 2 and K_hwoi.shape[1] == 2
+    Kf, pl = fold_convT_kernel(K_hwoi, fold_in, 2)
+    assert pl == 0 and Kf.shape[1] == 1
     return Kf
+
+
+def refold(xf, fs_from: FoldSpec, fs_to: FoldSpec):
+    """Merge adjacent folded blocks into a coarser fold (pure reshape).
+
+    After a stride-2 folded downsampler the fold halves (k_out = k//2);
+    when the channel width did not double to compensate (Segmentation's
+    32->32 level-1 blocks), re-fold block pairs back up so the level
+    keeps presenting >=128 lanes. Valid whenever both specs carry the
+    same bins: (B, T, bl, k*C) -> (B, T, bl/f, f*k*C) maps folded index
+    (b, jj) to (b//f, (b%f)*k + jj) = the fs_to convention exactly.
+    """
+    assert (fs_to.k % fs_from.k == 0 and fs_from.F == fs_to.F
+            and fs_to.carried >= fs_from.carried), (fs_from.__dict__,
+                                                    fs_to.__dict__)
+    f = fs_to.k // fs_from.k
+    B, T, bl, kc = xf.shape
+    assert bl == fs_from.blocks
+    extra = (fs_to.carried - fs_from.carried) // fs_from.k
+    if extra:  # new carry blocks (zero == masked carry by construction)
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, extra), (0, 0)))
+        bl += extra
+    assert bl % f == 0
+    return xf.reshape(B, T, bl // f, f * kc)
 
 
 def fold_concat(a, b, fs: FoldSpec):
@@ -229,7 +291,8 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, fold_mode: str | None = None,
-                 fold: FoldSpec | None = None):
+                 fold: FoldSpec | None = None,
+                 fold_out: FoldSpec | None = None, f_pad: int = 0):
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.strides)
         ph, pw = _pair(self.padding)
@@ -253,6 +316,18 @@ class TorchConv(nn.Module):
             assert (kh, kw, sh, sw) == (2, 2, 2, 2)
             rhs, pad = _fold_kernel_ds2(kernel, fold.k), [(0, 0), (0, 0)]
             strides, tile = (2, 1), fold.k // 2
+        elif fold_mode == "gen":
+            # general folded freq conv: freq stride sw and explicit freq
+            # left-pad `f_pad` are absorbed into the kernel scatter; the
+            # time axis keeps stride sh with the caller's external pad
+            # (TF-SAME asymmetric pads live outside, so ph must be 0).
+            assert ph == 0 and fold is not None and fold_out is not None
+            assert fold.k % sw == 0 and fold_out.k == fold.k // sw
+            rhs, pl = fold_conv_kernel(kernel, fold.k, sw, f_pad)
+            pr = fold_out.blocks - x.shape[2] + rhs.shape[1] - 1 - pl
+            assert pr >= 0, (fold_out.blocks, x.shape, rhs.shape, pl)
+            pad = [(0, 0), (pl, pr)]
+            strides, tile = (sh, 1), fold_out.k
         else:
             raise ValueError(fold_mode)
 
@@ -333,6 +408,35 @@ class TorchConvTranspose(nn.Module):
                 xc, rhs, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
                 dimension_numbers=_DN)
             return out + jnp.tile(bias, fold.k) if bias is not None else out
+
+        if fold_mode == "genT":
+            # general folded freq transpose conv (pad 0): the freq
+            # upsample becomes a fold-channel expansion (k_out = sw*k),
+            # time is the usual lhs-dilated flipped-kernel correlation.
+            # Raw output: time sh*T - sh + kh rows (left crop 0), freq
+            # fold_out.blocks folded positions; output_size=(tt, _) crops
+            # or zero-extends time to tt BEFORE the bias add, so torch
+            # output_padding rows come out as exactly `bias` — freq
+            # carry bins hold bias too and must be masked by the caller.
+            assert (ph, pw) == (0, 0) and fold is not None \
+                and fold_out is not None and fold_out.k == sw * fold.k
+            rhs, pl = fold_convT_kernel(kernel, fold.k, sw)
+            pr = fold_out.blocks - x.shape[2] + rhs.shape[1] - 1 - pl
+            assert pr >= 0, (fold_out.blocks, x.shape, rhs.shape, pl)
+            tt = output_size[0]
+            xc, rhs, bias = promote_dtype(x, rhs, bias, dtype=self.dtype)
+            out = jax.lax.conv_general_dilated(
+                xc, rhs, window_strides=(1, 1),
+                padding=[(kh - 1, kh - 1), (pl, pr)],
+                lhs_dilation=(sh, 1), dimension_numbers=_DN)
+            assert out.shape[1] >= tt or kh == 1, (out.shape, tt)
+            out = out[:, :tt]
+            if out.shape[1] < tt:
+                out = jnp.pad(out, ((0, 0), (0, tt - out.shape[1]),
+                                    (0, 0), (0, 0)))
+            if bias is not None:
+                out = out + jnp.tile(bias, fold_out.k)
+            return out
 
         assert fold_mode == "us2"
         assert (kh, kw, sh, sw, ph, pw) == (2, 2, 2, 2, 0, 0)

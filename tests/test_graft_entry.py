@@ -33,8 +33,13 @@ def test_dryrun_multichip_inprocess_no_env():
 @pytest.mark.slow
 def test_dryrun_multichip_after_backend_already_bound():
     # Worst case: something already initialized the default backend.
+    # Bind a 1-device CPU backend (not the axon TPU: that would make the
+    # test hang whenever the dev relay is unreachable) — the recovery
+    # path under test is jax.config.update raising RuntimeError post-init
+    # and _force_cpu_devices falling back to clear_backends.
     proc = _run(
-        "import jax; jax.devices();"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "assert len(jax.devices()) == 1;"
         "import __graft_entry__ as g; g.dryrun_multichip(8)"
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
