@@ -120,10 +120,13 @@ def test_seg_folded_gradients_exact_in_float64():
             assert float(jnp.max(jnp.abs(a - b))) < 1e-12
 
 
-def test_seg_folded_arbitrary_length():
-    """Folded path at a non-640 frame count and odd time sizes (the
-    bucketed full-song eval shapes)."""
-    x = np.random.RandomState(5).rand(1, 101, 229, 1).astype(np.float32)
+@pytest.mark.parametrize("n_bins", [229, 386])
+def test_seg_folded_arbitrary_shape(n_bins):
+    """Folded path at a non-640 frame count, odd time sizes (the
+    bucketed full-song eval shapes), and the CFP frontend's 386 bins —
+    the latter exercises refold()'s extra-carry-block zero padding
+    (193 half-res bins: k=2 carries 194, k=4 carries 196)."""
+    x = np.random.RandomState(5).rand(1, 101, n_bins, 1).astype(np.float32)
     m_n, m_f = _mods(1)
     v = m_n.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
                  train=False)
