@@ -22,7 +22,31 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: int = 180):
+    """Fail fast (clear message, rc 1) when the TPU backend is
+    unreachable: a dead dev relay makes the in-process jax.devices()
+    block for ~35 minutes before raising UNAVAILABLE, which would eat
+    the whole measurement budget. Probe in a killable subprocess."""
+    import subprocess
+
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; d = jax.devices(); print(d[0].platform)"],
+        capture_output=True, text=True, timeout=None
+        if os.environ.get("BENCH_NO_PROBE") else timeout_s)
+    if probe.returncode != 0:
+        sys.exit("bench.py: TPU backend unreachable (dev relay down?) — "
+                 "no measurement taken. Probe stderr tail: "
+                 + probe.stderr[-500:])
+
+
 def main():
+    try:
+        _probe_backend()
+    except Exception as e:  # subprocess.TimeoutExpired and friends
+        sys.exit(f"bench.py: TPU backend probe timed out — dev relay "
+                 f"unreachable, no measurement taken ({e!r})")
+
     import jax
 
     from reconvat_tpu.runtime import setup as runtime_setup
