@@ -149,3 +149,22 @@ def test_folded_gradients_match_nhwc():
         assert np.max(np.abs(a - b)) < tol, path
         checked += 1
     assert checked > 100
+
+
+def test_folded_bf16_matches_nhwc_bf16():
+    """The production TPU configuration is folded + bf16 compute
+    together: both layouts under compute dtype bf16 must agree (bin
+    probabilities land on the same bf16 grid up to reduction order)."""
+    x = np.random.RandomState(6).rand(1, 64, 229, 1).astype(np.float32)
+    m_f = UNet(n_bins=229, reconstruction=True, conv_layout="folded",
+               dtype="bfloat16")
+    m_n = UNet(n_bins=229, reconstruction=True, conv_layout="nhwc",
+               dtype="bfloat16")
+    v = m_n.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    _, roll_f, roll2_f, _ = m_f.apply(v, jnp.asarray(x), train=False)
+    _, roll_n, roll2_n, _ = m_n.apply(v, jnp.asarray(x), train=False)
+    assert roll_f.dtype == jnp.float32  # heads stay fp32
+    np.testing.assert_allclose(np.asarray(roll_f), np.asarray(roll_n),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(roll2_f), np.asarray(roll2_n),
+                               atol=5e-4)
