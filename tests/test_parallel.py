@@ -26,10 +26,12 @@ def test_eight_virtual_devices_available():
 
 
 @pytest.mark.slow
-def test_sharded_train_step_matches_single_device():
-    """One full VAT train step: dp=4 x sp=2 sharded vs single device."""
+@pytest.mark.parametrize("conv_layout", ["nhwc", "folded"])
+def test_sharded_train_step_matches_single_device(conv_layout):
+    """One full VAT train step: dp=4 x sp=2 sharded vs single device
+    (both U-Net layouts — folded is the production TPU path)."""
     frames, batch = 64, 4
-    model = ReconVAT(reconstruction=True)
+    model = ReconVAT(reconstruction=True, conv_layout=conv_layout)
     batch_l, batch_ul = _batch(batch, frames, 1), _batch(batch, frames, 2)
     key = jax.random.PRNGKey(3)
 
