@@ -137,3 +137,114 @@ def transcribe_spec(model, audio, bucket_frames: int = 0):
     t_pad = -(-t_true // bucket_frames) * bucket_frames
     audio = pad_audio_to_frames(audio, t_pad)
     return make_log_norm_spec(model, audio, t_true), t_true
+
+
+# ---------------------------------------------------------------------------
+# streaming (bounded-memory) full-song transcription
+# ---------------------------------------------------------------------------
+
+def _frame_slice_audio(audio, f0: int, f1: int, t_pad: int):
+    """Audio samples whose signal chain reproduces frames [f0, f1) of the
+    full song, right-padded (reflect, like the exact path's center pad at
+    the song end) to exactly t_pad frames.
+
+    Frame t of a slice starting at sample f0*HOP has the same sample
+    center as frame f0+t of the full song, so interior frames are
+    bit-identical; only the ~2 frames nearest a *cut* edge see the
+    slice's reflect padding instead of true context (they land in the
+    discarded halo; at the true song edges the slice edge IS the song
+    edge, so even those match the exact path)."""
+    n = audio.shape[1]
+    # f1*HOP samples cover frames [f0, f1) (the chain drops the final
+    # sample anyway; missing tail samples only perturb halo-edge frames)
+    s0, s1 = f0 * C.HOP_LENGTH, min(n, f1 * C.HOP_LENGTH)
+    return pad_audio_to_frames(audio[:, s0:s1], t_pad)
+
+
+def transcribe_streaming(model, forward, variables, audio,
+                         window_frames: int = 640, halo_frames: int = 128,
+                         out_pitches: int = 88):
+    """Bounded-memory full-song transcription: haloed fixed-shape windows.
+
+    The bucketed path (`transcribe_spec`) materializes the whole song's
+    activations at once — fine to ~10 min of audio, not for hour-scale
+    recordings. This path keeps peak memory at
+    O(window_frames + 2*halo_frames) regardless of song length:
+
+    1. `imagewise` normalization needs the song-global log-spec min/max:
+       pass 1 accumulates them over spectrogram chunks (interior frames
+       only, so the statistics equal the full-song ones bit-for-bit; the
+       spectrogram is tiny next to the network activations).
+    2. pass 2 transcribes each window with `halo_frames` of real context
+       per side, normalized by the global statistics, and keeps only the
+       interior.
+
+    Interior outputs equal the full-song path wherever the halo covers
+    the transcriber's receptive field (window-31 attention = +-15 plus
+    one U-Net encoder/decoder = a few dozen; halo 128 is comfortably
+    beyond — asserted against the bucketed path in
+    tests/test_streaming_transcribe.py). `forward(variables, spec_image)
+    -> (B, T, out_pitches) roll` is the model's deployment forward.
+
+    Reference context: `model/self_attention_VAT.py:1293-1314` runs full
+    songs in one eager forward — unbounded memory; this is the TPU-native
+    serving equivalent.
+    """
+    import jax
+
+    B, n = audio.shape
+    t_true = frames_in(n)
+    W, H = int(window_frames), int(halo_frames)
+    assert H >= 8, "halo must cover the spectrogram edge frames"
+    span = W + 2 * H
+
+    if t_true <= span:  # short clip: one bucketed call is already bounded
+        spec = make_log_norm_spec(model, pad_audio_to_frames(
+            audio, span), frames_in(n))
+        roll = forward(variables, spec[..., None])
+        return roll[:, :t_true]
+
+    # pass 1: global normalization statistics (imagewise only)
+    imagewise = getattr(model.normalize, "mode", "imagewise") == "imagewise"
+    gmin = gmax = None
+    if imagewise:
+        def _spec_chunk(a):
+            spec = model.frontend(a[:, :-1])
+            if getattr(model, "log", True):
+                spec = jnp.log(spec + 1e-5)
+            return spec
+
+        spec_chunk = jax.jit(_spec_chunk)
+        mins, maxs = [], []
+        E = 4  # spectrogram edge halo (center window 2048 = 4 hops)
+        for w0 in range(0, t_true, W):
+            w1 = min(t_true, w0 + W)
+            f0, f1 = max(0, w0 - E), min(t_true, w1 + E)
+            chunk = spec_chunk(_frame_slice_audio(audio, f0, f1, W + 2 * E))
+            keep = chunk[:, w0 - f0:w1 - f0]
+            # per batch element, like normalize_imagewise's per-image stats
+            mins.append(np.asarray(jnp.min(keep, axis=(1, 2))))
+            maxs.append(np.asarray(jnp.max(keep, axis=(1, 2))))
+        gmin = jnp.asarray(np.min(mins, axis=0)).reshape(B, 1, 1)
+        gmax = jnp.asarray(np.max(maxs, axis=0)).reshape(B, 1, 1)
+
+    # pass 2: haloed windows, one compiled shape
+    def _window(variables, a, lo, hi):
+        spec = model.frontend(a[:, :-1])
+        if getattr(model, "log", True):
+            spec = jnp.log(spec + 1e-5)
+        if imagewise:
+            spec = (spec - lo) / (hi - lo)
+        else:
+            spec = model.normalize(spec)
+        return forward(variables, spec[..., None])
+
+    window = jax.jit(_window)
+    out = np.zeros((B, t_true, out_pitches), np.float32)
+    for w0 in range(0, t_true, W):
+        w1 = min(t_true, w0 + W)
+        f0 = max(0, min(w0 - H, t_true - span))
+        a = _frame_slice_audio(audio, f0, f0 + span, span)
+        roll = window(variables, a, gmin, gmax)
+        out[:, w0:w1] = np.asarray(roll[:, w0 - f0:w1 - f0], np.float32)
+    return jnp.asarray(out)

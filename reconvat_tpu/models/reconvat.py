@@ -378,6 +378,23 @@ class ReconVAT:
             pianoroll = pianoroll[:, :t_true]
         return {"onset": pianoroll, "frame": pianoroll}
 
+    def transcribe_streaming(self, variables, audio, window_frames=640,
+                             halo_frames=128):
+        """Bounded-memory transcription for hour-scale recordings: haloed
+        fixed-shape windows with song-global normalization statistics;
+        peak memory is O(window + 2*halo) regardless of length. Matches
+        `transcribe` wherever the halo covers the transcriber's receptive
+        field (see `models/common.transcribe_streaming`)."""
+        from .common import transcribe_streaming
+
+        def forward(variables, spec_image):
+            out = self.module.apply(variables, spec_image, train=False)
+            return out[1] if self.reconstruction else out[0]
+
+        roll = transcribe_streaming(self, forward, variables, audio,
+                                    window_frames, halo_frames)
+        return {"onset": roll, "frame": roll}
+
     # -- weights -------------------------------------------------------------
     def load_reference_weights(self, path: str, variables):
         """Load a released torch `.pt` state_dict onto this model."""

@@ -25,7 +25,7 @@ output_path = os.path.join(root, "Output")
 
 def transcribe2midi(data, model, variables, model_type, onset_threshold=0.5,
                     frame_threshold=0.5, save_path=None, rule="rule2",
-                    bucket_frames=0):
+                    bucket_frames=0, streaming=False):
     """Reference `transcribe2midi` (`transcribe_files.py:12-40`)."""
     import inspect
 
@@ -35,9 +35,13 @@ def transcribe2midi(data, model, variables, model_type, onset_threshold=0.5,
     written = []
     supports_bucket = "bucket_frames" in inspect.signature(
         model.transcribe).parameters
+    streamer = getattr(model, "transcribe_streaming", None)
     for item in data:
         audio = jnp.asarray(item["audio"])[None, :]
-        if bucket_frames and supports_bucket:
+        if streaming and streamer is not None:
+            # bounded-memory haloed windows for hour-scale recordings
+            pred = streamer(variables, audio)
+        elif bucket_frames and supports_bucket:
             pred = model.transcribe(variables, audio,
                                     bucket_frames=bucket_frames)
         else:
@@ -68,10 +72,13 @@ def config():
     # pad songs to this frame multiple so arbitrary lengths share a few
     # compiled shapes (0 = exact per-song shapes, reference-identical)
     bucket_frames = 512
+    # streaming=True: bounded-memory haloed-window transcription for
+    # hour-scale inputs (models/common.transcribe_streaming)
+    streaming = False
 
 
 @ex.automain
-def main(device, model_type, weight_path, bucket_frames):
+def main(device, model_type, weight_path, bucket_frames, streaming):
     if device == "cpu":
         import jax
 
@@ -116,4 +123,5 @@ def main(device, model_type, weight_path, bucket_frames):
 
     print("Transcribing Music")
     transcribe2midi(application_dataset, model, variables, model_type,
-                    save_path=output_path, bucket_frames=bucket_frames)
+                    save_path=output_path, bucket_frames=bucket_frames,
+                    streaming=streaming)
