@@ -162,8 +162,7 @@ def _frame_slice_audio(audio, f0: int, f1: int, t_pad: int):
 
 
 def transcribe_streaming(model, forward, variables, audio,
-                         window_frames: int = 640, halo_frames: int = 128,
-                         out_pitches: int = 88):
+                         window_frames: int = 640, halo_frames: int = 128):
     """Bounded-memory full-song transcription: haloed fixed-shape windows.
 
     The bucketed path (`transcribe_spec`) materializes the whole song's
@@ -183,8 +182,9 @@ def transcribe_streaming(model, forward, variables, audio,
     the transcriber's receptive field (window-31 attention = +-15 plus
     one U-Net encoder/decoder = a few dozen; halo 128 is comfortably
     beyond — asserted against the bucketed path in
-    tests/test_streaming_transcribe.py). `forward(variables, spec_image)
-    -> (B, T, out_pitches) roll` is the model's deployment forward.
+    tests/test_streaming_transcribe.py). `forward(variables, spec_image)`
+    is the model's deployment forward, returning a (B, T, out_pitches)
+    roll or any pytree of such rolls (UNetOnset returns {frame, onset}).
 
     Reference context: `model/self_attention_VAT.py:1293-1314` runs full
     songs in one eager forward — unbounded memory; this is the TPU-native
@@ -201,8 +201,8 @@ def transcribe_streaming(model, forward, variables, audio,
     if t_true <= span:  # short clip: one bucketed call is already bounded
         spec = make_log_norm_spec(model, pad_audio_to_frames(
             audio, span), frames_in(n))
-        roll = forward(variables, spec[..., None])
-        return roll[:, :t_true]
+        rolls = forward(variables, spec[..., None])
+        return jax.tree_util.tree_map(lambda r: r[:, :t_true], rolls)
 
     # pass 1: global normalization statistics (imagewise only)
     imagewise = getattr(model.normalize, "mode", "imagewise") == "imagewise"
@@ -240,11 +240,19 @@ def transcribe_streaming(model, forward, variables, audio,
         return forward(variables, spec[..., None])
 
     window = jax.jit(_window)
-    out = np.zeros((B, t_true, out_pitches), np.float32)
+    out = None
     for w0 in range(0, t_true, W):
         w1 = min(t_true, w0 + W)
         f0 = max(0, min(w0 - H, t_true - span))
         a = _frame_slice_audio(audio, f0, f0 + span, span)
-        roll = window(variables, a, gmin, gmax)
-        out[:, w0:w1] = np.asarray(roll[:, w0 - f0:w1 - f0], np.float32)
-    return jnp.asarray(out)
+        rolls = window(variables, a, gmin, gmax)
+        if out is None:
+            out = jax.tree_util.tree_map(
+                lambda r: np.zeros((B, t_true) + r.shape[2:], np.float32),
+                rolls)
+        jax.tree_util.tree_map(
+            lambda dst, r: dst.__setitem__(
+                (slice(None), slice(w0, w1)),
+                np.asarray(r[:, w0 - f0:w1 - f0], np.float32)),
+            out, rolls)
+    return jax.tree_util.tree_map(jnp.asarray, out)

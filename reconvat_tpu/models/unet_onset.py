@@ -283,6 +283,23 @@ class UNetOnset:
             pianoroll, onset = pianoroll[:, :t_true], onset[:, :t_true]
         return {"onset": onset, "frame": pianoroll}
 
+    def transcribe_streaming(self, variables, audio, window_frames=640,
+                             halo_frames=128):
+        """Bounded-memory transcription (haloed fixed-shape windows) —
+        see `models/common.transcribe_streaming`."""
+        from .common import transcribe_streaming
+
+        def forward(variables, spec_image):
+            out = self.module.apply(variables, spec_image, train=False)
+            if self.reconstruction:
+                _, pianoroll, onset = out[0], out[1], out[2]
+            else:
+                pianoroll, onset = out[0], out[1]
+            return {"onset": onset, "frame": pianoroll}
+
+        return transcribe_streaming(self, forward, variables, audio,
+                                    window_frames, halo_frames)
+
     def load_reference_weights(self, path: str, variables):
         from ..train.torch_convert import load_torch_checkpoint, torch_to_flax
         sd = load_torch_checkpoint(path)

@@ -68,3 +68,21 @@ def test_streaming_batch_imagewise_stats_per_element():
         model.transcribe_streaming(variables, audio, window_frames=512,
                                    halo_frames=128)["frame"], np.float32)
     np.testing.assert_allclose(streamed, full, atol=1e-5)
+
+
+def test_streaming_unet_onset_dict_outputs():
+    """UNetOnset's streaming path returns the {frame, onset} dict and
+    matches its one-shot transcribe."""
+    from reconvat_tpu.models.unet_onset import UNetOnset
+
+    model = UNetOnset(reconstruction=True, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=256)
+    audio = _song(48.0, seed=4)
+    full = model.transcribe(variables, audio)
+    streamed = model.transcribe_streaming(variables, audio,
+                                          window_frames=512,
+                                          halo_frames=128)
+    for k in ("frame", "onset"):
+        np.testing.assert_allclose(np.asarray(streamed[k], np.float32),
+                                   np.asarray(full[k], np.float32),
+                                   atol=1e-5, err_msg=k)
