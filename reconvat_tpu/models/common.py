@@ -196,6 +196,9 @@ def transcribe_streaming(model, forward, variables, audio,
     t_true = frames_in(n)
     W, H = int(window_frames), int(halo_frames)
     assert H >= 8, "halo must cover the spectrogram edge frames"
+    # multiples of the U-Net's total time stride keep every window's
+    # strided-conv grids anchored exactly like the full-song run
+    assert W % 16 == 0 and H % 16 == 0, (W, H)
     span = W + 2 * H
 
     if t_true <= span:  # short clip: one bucketed call is already bounded
@@ -243,7 +246,13 @@ def transcribe_streaming(model, forward, variables, audio,
     out = None
     for w0 in range(0, t_true, W):
         w1 = min(t_true, w0 + W)
-        f0 = max(0, min(w0 - H, t_true - span))
+        # f0 = w0 - H keeps every window's stride-2 downsampling grids
+        # anchored like the full-song run (W and H are multiples of the
+        # total stride, asserted above); the last window's slice runs
+        # past the song end and pads exactly like the bucketed path
+        # (reflect at the true end, then zeros), so the final frames
+        # carry the same end-halo semantics the evaluation path has.
+        f0 = max(0, w0 - H)
         a = _frame_slice_audio(audio, f0, f0 + span, span)
         rolls = window(variables, a, gmin, gmax)
         if out is None:

@@ -653,6 +653,22 @@ class SemanticSegmentation:
             pianoroll = pianoroll[:, :t_true]
         return {"onset": pianoroll, "frame": pianoroll}
 
+    def transcribe_streaming(self, variables, audio, window_frames=640,
+                             halo_frames=256):
+        """Bounded-memory transcription (haloed fixed-shape windows) —
+        see `models/common.transcribe_streaming`. The default halo is
+        larger than the flagship's: the 17x17 attention pair at the
+        /16-resolution bottleneck alone sees +-256 full-resolution
+        frames of context."""
+        from .common import transcribe_streaming
+
+        def forward(variables, spec_image):
+            roll = self.module.apply(variables, spec_image, train=False)
+            return {"onset": roll, "frame": roll}
+
+        return transcribe_streaming(self, forward, variables, audio,
+                                    window_frames, halo_frames)
+
     def load_reference_weights(self, path: str, variables):
         from ..train.torch_convert import load_torch_checkpoint, torch_to_flax
 
