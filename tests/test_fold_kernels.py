@@ -121,3 +121,33 @@ def test_fold_convT_kernel_matches_plain(F, k, kw, ci, co):
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fold_conv_kernel_randomized_sweep():
+    """Property sweep: random (F, k, kw, stride, pad) conv configs beyond
+    the hand-picked model geometries."""
+    rng = np.random.RandomState(42)
+    for _ in range(20):
+        k = int(rng.choice([1, 2, 4, 8]))
+        stride = int(rng.choice([s for s in (1, 2) if k % s == 0]))
+        kw = int(rng.choice([1, 3, 5, 7]))
+        pad = int(rng.randint(0, kw))
+        F = int(rng.randint(max(kw, 2 * stride), 80))
+        F_out = (F + 2 * pad - kw) // stride + 1
+        if F_out <= 0:
+            continue
+        ci, co = int(rng.randint(1, 5)), int(rng.randint(1, 5))
+        x = rng.randn(1, 4, F, ci).astype(np.float32)
+        K = rng.randn(3, kw, ci, co).astype(np.float32)
+        with jax.default_matmul_precision("highest"):
+            ref = _plain_conv(jnp.asarray(x), jnp.asarray(K), stride,
+                              (pad, F_out * stride - F - pad + kw - stride))
+            ref = ref[:, :, :F_out]
+            fs_in = FoldSpec(F, k)
+            fs_out = FoldSpec(F_out, max(1, k // stride))
+            out = _run_folded_conv(jnp.asarray(x), K, fs_in, fs_out,
+                                   stride, pad)
+            out = _unfold(out, fs_out, co)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"F={F} k={k} kw={kw} s={stride} p={pad}")
