@@ -85,26 +85,23 @@ class TimbralCNN(nn.Module):
         return self.fc(x)
 
 
-class _AttnHead(nn.Module):
-    """attention -> layernorm -> linear -> sigmoid."""
-    model_complexity: int
-    output_features: int
-    w_size: int = 31
-    n_heads: int = 8
-    position: bool = True
+def _attn_head_setup(mod, model_complexity, output_features, w_size,
+                     n_heads, position=True):
+    """Define the attention->LN->linear head with the reference's FLAT
+    attribute names (`sequence_model`/`layer_norm`/`linear`,
+    `model/self_attention_VAT.py:269-276`) so released state_dicts
+    convert mechanically — a nested submodule would prefix the names."""
+    mod.sequence_model = MultiHeadAttention1D(
+        out_features=model_complexity, kernel_size=w_size,
+        groups=n_heads, position=position)
+    mod.layer_norm = _ln()
+    mod.linear = nn.Dense(output_features, kernel_init=torch_conv_init)
 
-    def setup(self):
-        self.sequence_model = MultiHeadAttention1D(
-            out_features=self.model_complexity, kernel_size=self.w_size,
-            groups=self.n_heads, position=self.position)
-        self.layer_norm = _ln()
-        self.linear = nn.Dense(self.output_features,
-                               kernel_init=torch_conv_init)
 
-    def __call__(self, x):
-        x, a = self.sequence_model(x)
-        x = self.layer_norm(x)
-        return nn.sigmoid(self.linear(x)), a
+def _attn_head_apply(mod, x):
+    x, a = mod.sequence_model(x)
+    x = mod.layer_norm(x)
+    return nn.sigmoid(mod.linear(x)), a
 
 
 @dataclasses.dataclass
@@ -221,11 +218,11 @@ class _SA1DModule(nn.Module):
     position: bool = True
 
     def setup(self):
-        self.head = _AttnHead(self.model_complexity, self.output_features,
-                              self.w_size, self.n_heads, self.position)
+        _attn_head_setup(self, self.model_complexity, self.output_features,
+                         self.w_size, self.n_heads, self.position)
 
     def __call__(self, x, train: bool = False):
-        return self.head(x)
+        return _attn_head_apply(self, x)
 
 
 @dataclasses.dataclass
@@ -253,12 +250,12 @@ class _CNNAttn1DModule(nn.Module):
             self.cnn = ConvStack(self.input_features, self.output_features)
         else:
             self.cnn = TimbralCNN(32, 8, self.output_features)
-        self.head = _AttnHead(self.model_complexity, self.output_features,
-                              self.w_size, self.n_heads)
+        _attn_head_setup(self, self.model_complexity,
+                         self.output_features, self.w_size, self.n_heads)
 
     def __call__(self, x, train: bool = False):
         x = self.cnn(x, train)
-        return self.head(x)
+        return _attn_head_apply(self, x)
 
 
 @dataclasses.dataclass

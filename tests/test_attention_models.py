@@ -89,3 +89,89 @@ def test_standalone_attention_matches_reference():
     out, _ = model.module.apply(converted, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def _convert(ref, model, x, renames=()):
+    """Reference state_dict -> our tree; renames fix nn.Sequential's
+    numeric indices (same pattern as test_onsets_frames)."""
+    from reconvat_tpu.train.torch_convert import torch_to_flax
+
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=x.shape[1])
+    sd = {}
+    for k, p in ref.state_dict().items():
+        for a, b in renames:
+            k = k.replace(a, b)
+        if not k.startswith(("spectrogram.", "normalize.", "vat_loss.")):
+            sd[k] = p
+    converted, report = torch_to_flax(sd, variables)
+    assert not report["skipped"], report["skipped"]
+    return converted
+
+
+_CONVSTACK_RENAMES = (
+    ("cnn.cnn.0.", "cnn.conv0."), ("cnn.cnn.1.", "cnn.bn0."),
+    ("cnn.cnn.3.", "cnn.conv1."), ("cnn.cnn.4.", "cnn.bn1."),
+    ("cnn.cnn.8.", "cnn.conv2."), ("cnn.cnn.9.", "cnn.bn2."),
+    ("cnn.fc.0.", "cnn.fc."),
+)
+_TIMBRAL_RENAMES = (
+    ("cnn.0.", "conv0."), ("cnn.1.", "bn0."),
+    ("cnn.3.", "conv1."), ("cnn.4.", "bn1."),
+    ("cnn.7.", "conv2."), ("cnn.8.", "bn2."),
+    ("fc.0.", "fc."),
+)
+
+
+def test_vat_self_attention_1d_matches_reference():
+    torch = pytest.importorskip("torch")
+    sav = reference_oracle.reference_module("self_attention_VAT")
+    torch.manual_seed(0)
+    ref = sav.VAT_self_attention_1D(229, 88, model_complexity=48,
+                                    w_size=7, n_heads=8).eval()
+    x = np.random.RandomState(1).rand(1, 20, 229).astype(np.float32)
+    with torch.no_grad():
+        out_ref, _ = ref(torch.tensor(x))
+    model = am.VATSelfAttention1D(model_complexity=48, w_size=7, n_heads=8)
+    out, _ = model.module.apply(_convert(ref, model, x), jnp.asarray(x),
+                                train=False)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("version", ["a", "b"])
+def test_vat_cnn_attention_1d_matches_reference(version):
+    torch = pytest.importorskip("torch")
+    sav = reference_oracle.reference_module("self_attention_VAT")
+    torch.manual_seed(0)
+    ref = sav.VAT_CNN_attention_1D(229, 88, model_complexity=48, w_size=7,
+                                   n_heads=8, version=version).eval()
+    x = np.random.RandomState(1).rand(1, 20, 229).astype(np.float32)
+    with torch.no_grad():
+        out_ref, _ = ref(torch.tensor(x))
+    model = am.VATCNNAttention1D(model_complexity=48, w_size=7, n_heads=8,
+                                 version=version)
+    renames = (_CONVSTACK_RENAMES if version == "a"
+               else tuple(("cnn." + a, "cnn." + b)
+                          for a, b in _TIMBRAL_RENAMES))
+    out, _ = model.module.apply(_convert(ref, model, x, renames),
+                                jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_simple_onset_frame_matches_reference():
+    torch = pytest.importorskip("torch")
+    sam = reference_oracle.reference_module("self_attenttion_model")
+    torch.manual_seed(0)
+    ref = sam.simple_onset_frame(229, 88, model_complexity=48, w_size=7,
+                                 n_heads=8).eval()
+    x = np.random.RandomState(1).rand(1, 20, 229).astype(np.float32)
+    with torch.no_grad():
+        frame_ref, onset_ref, _ = ref(torch.tensor(x))
+    model = am.SimpleOnsetFrame(model_complexity=48, w_size=7, n_heads=8)
+    frame, onset, _ = model.module.apply(_convert(ref, model, x),
+                                         jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(frame), frame_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(onset), onset_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
