@@ -368,14 +368,18 @@ class _OFSelfAttnModule(nn.Module):
     input_features: int
     output_features: int
     model_complexity: int = 48
-    w_size: int = 30
+    # reference contract: attention kernel == w_size, which must be odd;
+    # the reference's own default (30, `model/self_attenttion_model.py:
+    # 238`) trips its odd-kernel assert — reference bug, default here is
+    # the usable 31
+    w_size: int = 31
     n_heads: int = 8
 
     def setup(self):
         model_size = self.model_complexity * 16
         self.onset_conv = ConvStack(self.input_features, model_size)
         self.onset_attn = MultiHeadAttention1D(out_features=model_size,
-                                               kernel_size=self.w_size + 1,
+                                               kernel_size=self.w_size,
                                                groups=self.n_heads)
         self.onset_linear = nn.Dense(self.output_features,
                                      kernel_init=torch_conv_init)
@@ -383,8 +387,7 @@ class _OFSelfAttnModule(nn.Module):
         self.frame_linear = nn.Dense(self.output_features,
                                      kernel_init=torch_conv_init)
         self.combined_attn = MultiHeadAttention1D(out_features=model_size,
-                                                  kernel_size=self.w_size
-                                                  + 1,
+                                                  kernel_size=self.w_size,
                                                   groups=self.n_heads)
         self.combined_linear = nn.Dense(self.output_features,
                                         kernel_init=torch_conv_init)
@@ -410,7 +413,7 @@ class OnsetsAndFramesSelfAttention:
     input_features: int = C.N_BINS
     output_features: int = N_KEYS
     model_complexity: int = 48
-    w_size: int = 30
+    w_size: int = 31   # attention kernel (odd; see _OFSelfAttnModule)
     n_heads: int = 8
     log: bool = True
     mode: str = "imagewise"

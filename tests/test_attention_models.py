@@ -175,3 +175,66 @@ def test_simple_onset_frame_matches_reference():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(onset), onset_ref.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cnn_attention_onset_frame_matches_reference():
+    torch = pytest.importorskip("torch")
+    sav = reference_oracle.reference_module("self_attention_VAT")
+    torch.manual_seed(0)
+    ref = sav.VAT_CNN_attention_onset_frame(229, 88, model_complexity=48,
+                                            w_size=7, n_heads=8).eval()
+    x = np.random.RandomState(1).rand(1, 20, 229).astype(np.float32)
+    with torch.no_grad():
+        frame_ref, onset_ref, _ = ref(torch.tensor(x))
+    model = am.VATCNNAttentionOnsetFrame(model_complexity=48, w_size=7,
+                                         n_heads=8)
+    renames = tuple((p + a, p + b) for p in ("cnn.", "onset_timbral_cnn.")
+                    for a, b in _TIMBRAL_RENAMES)
+    frame, onset, _ = model.module.apply(_convert(ref, model, x, renames),
+                                         jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(frame), frame_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(onset), onset_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_onsets_frames_self_attention_matches_reference():
+    torch = pytest.importorskip("torch")
+    sam = reference_oracle.reference_module("self_attenttion_model")
+    torch.manual_seed(0)
+    ref = sam.OnsetsAndFrames_self_attention(
+        229, 88, model_complexity=8, w_size=7,
+        attention_mode="activation", onset_stack=True).eval()
+    x = np.random.RandomState(1).rand(1, 20, 229).astype(np.float32)
+    with torch.no_grad():
+        onset_ref, act_ref, frame_ref, _ = ref(torch.tensor(x))
+    model = am.OnsetsAndFramesSelfAttention(model_complexity=8, w_size=7)
+    renames = (
+        ("onset_stack.convstack.cnn.0.", "onset_conv.conv0."),
+        ("onset_stack.convstack.cnn.1.", "onset_conv.bn0."),
+        ("onset_stack.convstack.cnn.3.", "onset_conv.conv1."),
+        ("onset_stack.convstack.cnn.4.", "onset_conv.bn1."),
+        ("onset_stack.convstack.cnn.8.", "onset_conv.conv2."),
+        ("onset_stack.convstack.cnn.9.", "onset_conv.bn2."),
+        ("onset_stack.convstack.fc.0.", "onset_conv.fc."),
+        ("onset_stack.sequence_model.", "onset_attn."),
+        ("onset_stack.linear.", "onset_linear."),
+        ("frame_stack.0.cnn.0.", "frame_conv.conv0."),
+        ("frame_stack.0.cnn.1.", "frame_conv.bn0."),
+        ("frame_stack.0.cnn.3.", "frame_conv.conv1."),
+        ("frame_stack.0.cnn.4.", "frame_conv.bn1."),
+        ("frame_stack.0.cnn.8.", "frame_conv.conv2."),
+        ("frame_stack.0.cnn.9.", "frame_conv.bn2."),
+        ("frame_stack.0.fc.0.", "frame_conv.fc."),
+        ("frame_stack.1.", "frame_linear."),
+        ("combined_stack.sequence_model.", "combined_attn."),
+        ("combined_stack.linear.", "combined_linear."),
+    )
+    onset, act, frame, _ = model.module.apply(
+        _convert(ref, model, x, renames), jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(onset), onset_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(act), act_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(frame), frame_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
