@@ -645,7 +645,10 @@ class _Standalone2DModule(nn.Module):
         x = spec[..., None]                      # (B, T, F, 1)
         x, a = self.sequence_model(x)            # (B, T, F, C)
         B, T, F, Ch = x.shape
-        x = x.reshape(B, T, F * Ch)
+        # reference flattens channel-major: transpose(1,2).flatten(2) on
+        # (B, C, T, F) -> (B, T, C*F) (`model/self_attenttion_model.py:
+        # 623-624`) — the linear reads (c, f)-ordered features
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(B, T, Ch * F)
         return nn.sigmoid(self.linear(x)), a
 
 

@@ -238,3 +238,19 @@ def test_onsets_frames_self_attention_matches_reference():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(frame), frame_ref.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_standalone_attention_2d_matches_reference():
+    torch = pytest.importorskip("torch")
+    sam = reference_oracle.reference_module("self_attenttion_model")
+    torch.manual_seed(0)
+    ref = sam.standalone_self_attention_2D(1, 88, model_complexity=4,
+                                           w_size=(3, 3)).eval()
+    x = np.random.RandomState(1).rand(1, 16, 229).astype(np.float32)
+    with torch.no_grad():
+        out_ref, _ = ref(torch.tensor(x))
+    model = am.StandaloneSelfAttention2D(model_complexity=4)
+    out, _ = model.module.apply(_convert(ref, model, x), jnp.asarray(x),
+                                train=False)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
