@@ -135,3 +135,56 @@ def test_onsets_frames_run_on_batch():
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert preds["frame"].shape == (2, 32, 88)
+
+
+@pytest.mark.slow
+def test_frame_stack_vat_matches_reference():
+    """Frame-stack ablation full-forward parity (ConvStack renames +
+    BiLSTM gate conversion, all through the production
+    load_reference_weights path)."""
+    torch = pytest.importorskip("torch")
+    ofv = reference_oracle.reference_module("onset_frame_VAT")
+    torch.manual_seed(4)
+    ref = ofv.Frame_stack_VAT(229, 88, model_complexity=16).eval()
+    x = np.random.RandomState(5).rand(1, 40, 229).astype(np.float32)
+    with torch.no_grad():
+        act_ref, frame_ref = ref(torch.tensor(x))
+
+    from reconvat_tpu.models.onsets_frames import FrameStackVAT
+
+    model = FrameStackVAT(model_complexity=16)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+        torch.save(ref.state_dict(), f.name)
+        variables = model.init(jax.random.PRNGKey(0), seq_frames=40)
+        converted = model.load_reference_weights(f.name, variables)
+    act, frame = model.module.apply(converted, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(act), act_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(frame), frame_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_onset_stack_vat_matches_reference():
+    torch = pytest.importorskip("torch")
+    ofv = reference_oracle.reference_module("onset_frame_VAT")
+    torch.manual_seed(6)
+    ref = ofv.Onset_stack_VAT(229, 88, model_complexity=16).eval()
+    x = np.random.RandomState(7).rand(1, 40, 229).astype(np.float32)
+    with torch.no_grad():
+        onset_ref = ref(torch.tensor(x))
+
+    from reconvat_tpu.models.onsets_frames import OnsetStackVAT
+
+    model = OnsetStackVAT(model_complexity=16)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+        torch.save(ref.state_dict(), f.name)
+        variables = model.init(jax.random.PRNGKey(0), seq_frames=40)
+        converted = model.load_reference_weights(f.name, variables)
+    onset = model.module.apply(converted, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(onset), onset_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
