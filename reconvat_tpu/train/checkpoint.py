@@ -19,16 +19,49 @@ def _ckptr():
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(directory: str, step: int, state) -> str:
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    """Process-wide AsyncCheckpointer: `save` returns once the arrays are
+    copied to host (safe with donated train-state buffers — the next step
+    may reuse the device memory immediately) and serializes to disk in a
+    background thread; orbax writes to a temp dir and renames atomically,
+    so `latest_checkpoint` never sees a partial save."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import atexit
+
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(_ASYNC_CKPTR.wait_until_finished)
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(directory: str, step: int, state,
+                    block: bool = False) -> str:
+    """Save the train state; non-blocking by default (the reference's
+    torch.save stalls the step loop at every saving_freq,
+    `train_UNet_Onset_VAT.py:150-152`). block=True waits for the write —
+    use before reading the checkpoint back in the same process.
+    """
     path = os.path.abspath(os.path.join(directory, f"model-{step}"))
     tree = {"params": state.params, "opt_state": state.opt_state,
             "step": np.asarray(state.step)}
     if state.batch_stats is not None:
         tree["batch_stats"] = state.batch_stats
-    ckptr = _ckptr()
+    ckptr = _async_ckptr()
     ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all in-flight async checkpoint writes land."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def latest_checkpoint(directory: str):

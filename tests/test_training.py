@@ -110,7 +110,7 @@ def test_supersmall_overfit(maps_root):
 def test_checkpoint_roundtrip(tmp_path):
     model = ReconVAT(reconstruction=False)
     state = create_train_state(model, jax.random.PRNGKey(0), seq_frames=32)
-    path = ckpt.save_checkpoint(str(tmp_path), 5, state)
+    path = ckpt.save_checkpoint(str(tmp_path), 5, state, block=True)
     assert ckpt.latest_checkpoint(str(tmp_path)) == os.path.join(
         str(tmp_path), "model-5")
 
@@ -120,3 +120,25 @@ def test_checkpoint_roundtrip(tmp_path):
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l0, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_safe_after_buffer_mutation(tmp_path):
+    """Async save must copy to host before returning: mutating (donating)
+    the state buffers right after save() must not corrupt the write."""
+    import jax
+
+    from reconvat_tpu.models.reconvat import ReconVAT
+    from reconvat_tpu.train.state import create_train_state
+
+    model = ReconVAT(reconstruction=False)
+    state = create_train_state(model, jax.random.PRNGKey(0), seq_frames=32)
+    leaf0 = np.array(jax.tree_util.tree_leaves(state.params)[0])
+    path = ckpt.save_checkpoint(str(tmp_path), 7, state)   # non-blocking
+    # simulate donation: overwrite every param leaf in place on host side
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda a: a * 0 - 1.0, state.params))
+    ckpt.wait_for_checkpoints()
+    state2 = create_train_state(model, jax.random.PRNGKey(1), seq_frames=32)
+    state2 = ckpt.restore_checkpoint(path, state2)
+    np.testing.assert_array_equal(
+        np.array(jax.tree_util.tree_leaves(state2.params)[0]), leaf0)
