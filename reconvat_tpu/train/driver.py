@@ -11,7 +11,6 @@ import os
 import pickle
 
 import jax
-import numpy as np
 
 from ..data.loader import DataLoader, cycle, prefetch_to_device
 from ..evaluate import (evaluate_wo_velocity, make_bucketed_runner,
