@@ -1,5 +1,4 @@
 """sacred-compatible config emulation tests."""
-import sys
 
 from reconvat_tpu.config import Experiment, parse_cli, resolve_config
 

@@ -1,6 +1,5 @@
 """Guqin / Corelli / ApplicationWind file-listing + torch_convert units."""
 import os
-import pickle
 
 import numpy as np
 import pytest

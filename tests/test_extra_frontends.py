@@ -3,7 +3,6 @@ Griffin-Lim / CQT2010v2 / CFP."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from reconvat_tpu.ops import extra_frontends as xf
@@ -59,7 +58,7 @@ def test_dft_istft_roundtrip():
 
 
 def test_istft_inverts_rfft_frames():
-    from reconvat_tpu.ops.spectrogram import STFT, _frame, reflect_pad
+    from reconvat_tpu.ops.spectrogram import _frame, reflect_pad
 
     x = _tone(n=16384)
     n_fft, hop = 2048, 512

@@ -1,5 +1,4 @@
 """Native FLAC decoder round-trip tests against the test-only encoder."""
-import os
 
 import numpy as np
 import pytest

@@ -18,8 +18,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run(code: str) -> subprocess.CompletedProcess:
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
+    # Generous timeout: the 8-device CPU dryrun compiles the full folded
+    # train step; under a concurrently loaded machine (full-suite runs)
+    # 1200 s has been observed to flake.
     return subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
-                          capture_output=True, text=True, timeout=1200)
+                          capture_output=True, text=True, timeout=3000)
 
 
 @pytest.mark.slow

@@ -14,7 +14,6 @@ against hand-computed values from the same spec reading. Here:
 * the pure-numpy average-precision fallback is checked against sklearn.
 """
 import numpy as np
-import pytest
 
 from reconvat_tpu.metrics import (_max_bipartite_matching,
                                   average_precision_score,
@@ -221,7 +220,6 @@ def test_multipitch_chroma_wraparound():
 def test_average_precision_fallback_matches_sklearn():
     from sklearn.metrics import average_precision_score as sk_ap
 
-    import reconvat_tpu.metrics as M
 
     rng = np.random.RandomState(0)
     for _ in range(20):

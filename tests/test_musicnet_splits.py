@@ -1,7 +1,6 @@
 """MusicNet family-group split logic (reference `model/dataset.py:216-342`)."""
 import os
 
-import numpy as np
 import pytest
 
 from reconvat_tpu.data.datasets import MusicNet

@@ -5,8 +5,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from reconvat_tpu.models.onsets_frames import (OnsetsAndFrames,
-                                               OnsetsAndFramesModule)
+from reconvat_tpu.models.onsets_frames import OnsetsAndFrames
 from reconvat_tpu.nn.layers import BiLSTM, ConvStack, lstm_torch_entries
 from reconvat_tpu.train.torch_convert import torch_to_flax
 

@@ -63,7 +63,6 @@ def test_pallas_custom_vjp_grads():
 
 
 def test_module_pallas_impl_matches_xla():
-    from reconvat_tpu.train.torch_convert import torch_to_flax
 
     x = jnp.asarray(np.random.RandomState(0)
                     .randn(2, 50, 24).astype(np.float32))

@@ -9,7 +9,6 @@ import jax.numpy as jnp
 
 from reconvat_tpu.models.segmentation import (MultiHeadAttention2D,
                                               SemanticSegmentation,
-                                              SegmentationModule,
                                               tf_same_pad)
 from reconvat_tpu.train.torch_convert import torch_to_flax
 

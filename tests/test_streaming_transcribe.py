@@ -7,7 +7,6 @@ context: `model/self_attention_VAT.py:1293-1314` transcribes full songs
 in one eager forward (unbounded memory).
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from reconvat_tpu.data.datasets import MAPS
 from reconvat_tpu.data.loader import DataLoader, cycle

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from reconvat_tpu.models.unet_onset import UNetOnset, UNetOnsetModule
+from reconvat_tpu.models.unet_onset import UNetOnset
 
 from . import reference_oracle
 

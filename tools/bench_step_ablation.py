@@ -36,7 +36,6 @@ def main():
     from reconvat_tpu import runtime
     runtime.setup()
 
-    import jax.numpy as jnp
 
     from reconvat_tpu.models.reconvat import ReconVAT
     from reconvat_tpu.train.state import (create_train_state, make_train_step,
