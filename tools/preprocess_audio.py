@@ -5,6 +5,11 @@ to 16k, `README.md:23-31`). Uses our native FLAC decoder / scipy wav IO and
 polyphase resampling — no ffmpeg needed.
 
     python tools/preprocess_audio.py --out-dir data16k src/*.flac src/*.wav
+
+`--dummy-tsv` additionally writes the notebook's placeholder label file
+(five (60, 60, 60, 60) rows, `Preprocessing.ipynb` last cell) next to each
+output, which is how unlabeled corpora are staged for the semi-supervised
+VAT loaders (the labels are never read as supervision for `_ul` splits).
 """
 import argparse
 import os
@@ -30,9 +35,22 @@ def resample_to_16k(pcm, sr):
     return np.clip(out, -32768, 32767).astype(np.int16)
 
 
+def write_dummy_tsv(path: str):
+    """Placeholder labels for unlabeled VAT data (notebook last cell):
+    five identical (onset=60, offset=60, note=60, velocity=60) rows."""
+    import numpy as np
+
+    notes = np.full((5, 4), 60.0)
+    np.savetxt(path, notes, "%.6f", "\t",
+               header="onset\toffset\tnote\tvelocity")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--dummy-tsv", action="store_true",
+                    help="also write a placeholder .tsv per file "
+                         "(unlabeled-VAT staging, Preprocessing.ipynb)")
     ap.add_argument("inputs", nargs="+")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
@@ -42,6 +60,8 @@ def main():
         base = os.path.splitext(os.path.basename(path))[0]
         out = os.path.join(args.out_dir, base + ".wav")
         write_wav(out, pcm, C.SAMPLE_RATE)
+        if args.dummy_tsv:
+            write_dummy_tsv(os.path.join(args.out_dir, base + ".tsv"))
         print(f"{path} ({sr} Hz) -> {out} (16000 Hz, "
               f"{len(pcm) / 16000:.1f} s)")
 

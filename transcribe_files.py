@@ -75,10 +75,15 @@ def config():
     # streaming=True: bounded-memory haloed-window transcription for
     # hour-scale inputs (models/common.transcribe_streaming)
     streaming = False
+    # reference hardcodes Application/{Input,Output}
+    # (`transcribe_files.py:47-48`); same defaults, overridable here
+    input_path = os.path.join("Application", "Input")
+    output_path = os.path.join("Application", "Output")
 
 
 @ex.automain
-def main(device, model_type, weight_path, bucket_frames, streaming):
+def main(device, model_type, weight_path, bucket_frames, streaming,
+         input_path, output_path):
     if device == "cpu":
         import jax
 
