@@ -26,14 +26,17 @@ def _probe_backend(timeout_s: int = 180):
     """Fail fast (clear message, rc 1) when the TPU backend is
     unreachable: a dead dev relay makes the in-process jax.devices()
     block for ~35 minutes before raising UNAVAILABLE, which would eat
-    the whole measurement budget. Probe in a killable subprocess."""
+    the whole measurement budget. Probe in a killable subprocess.
+    BENCH_NO_PROBE=1 skips the probe (go straight to the in-process
+    backend init, however long it takes)."""
     import subprocess
 
+    if os.environ.get("BENCH_NO_PROBE"):
+        return
     probe = subprocess.run(
         [sys.executable, "-c",
          "import jax; d = jax.devices(); print(d[0].platform)"],
-        capture_output=True, text=True, timeout=None
-        if os.environ.get("BENCH_NO_PROBE") else timeout_s)
+        capture_output=True, text=True, timeout=timeout_s)
     if probe.returncode != 0:
         sys.exit("bench.py: TPU backend unreachable (dev relay down?) — "
                  "no measurement taken. Probe stderr tail: "

@@ -45,6 +45,16 @@ def frame_mask(t_true, n_frames: int):
     return jnp.arange(n_frames) < t_true
 
 
+def make_log_spec(model, audio):
+    """audio (B, N) float in [-1, 1] -> un-normalized (log-)spec (B, T, F):
+    frontend (dropping the final sample, reference
+    `model/self_attention_VAT.py:1112`) -> log(x+1e-5)."""
+    spec = model.frontend(audio[:, :-1])
+    if getattr(model, "log", True):
+        spec = jnp.log(spec + 1e-5)
+    return spec
+
+
 def make_log_norm_spec(model, audio, t_true=None):
     """audio (B, N) float in [-1, 1] -> normalized (log-)spec (B, T, F).
 
@@ -52,9 +62,7 @@ def make_log_norm_spec(model, audio, t_true=None):
     min-max normalize). With t_true, the normalization statistics cover only
     the true frames of a padded clip.
     """
-    spec = model.frontend(audio[:, :-1])
-    if getattr(model, "log", True):
-        spec = jnp.log(spec + 1e-5)
+    spec = make_log_spec(model, audio)
     mask = None if t_true is None else frame_mask(t_true, spec.shape[1])
     return model.normalize(spec, mask)
 
@@ -211,13 +219,7 @@ def transcribe_streaming(model, forward, variables, audio,
     imagewise = getattr(model.normalize, "mode", "imagewise") == "imagewise"
     gmin = gmax = None
     if imagewise:
-        def _spec_chunk(a):
-            spec = model.frontend(a[:, :-1])
-            if getattr(model, "log", True):
-                spec = jnp.log(spec + 1e-5)
-            return spec
-
-        spec_chunk = jax.jit(_spec_chunk)
+        spec_chunk = jax.jit(lambda a: make_log_spec(model, a))
         mins, maxs = [], []
         E = 4  # spectrogram edge halo (center window 2048 = 4 hops)
         for w0 in range(0, t_true, W):
@@ -233,9 +235,7 @@ def transcribe_streaming(model, forward, variables, audio,
 
     # pass 2: haloed windows, one compiled shape
     def _window(variables, a, lo, hi):
-        spec = model.frontend(a[:, :-1])
-        if getattr(model, "log", True):
-            spec = jnp.log(spec + 1e-5)
+        spec = make_log_spec(model, a)
         if imagewise:
             spec = (spec - lo) / (hi - lo)
         else:

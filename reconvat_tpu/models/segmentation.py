@@ -500,8 +500,10 @@ class SegmentationModule(nn.Module):
     def __call__(self, x, train: bool = False):
         """x (B, T, F, 1) -> posteriogram.
 
-        out_class == 1: (B, T, 88); out_class > 1: (B, T, F', out_class)
-        mapped per-channel like the reference's un-squeezed Linear."""
+        out_class == 1: (B, T, 88); out_class > 1: (B, out_class, T, 88)
+        — the reference's `x.squeeze(1)` (`model/Segmentation.py:531`) is a
+        no-op when conv_last has >1 channel, so the Linear maps the NCHW
+        tensor per-channel and the channel axis survives."""
         folded = self.conv_layout == "folded"
         F = x.shape[2]
         x, encoder_outputs, encoder_hws = self.encoder(x, train, folded)
@@ -650,7 +652,10 @@ class SemanticSegmentation:
         pianoroll = self.module.apply(variables, spec[..., None],
                                       train=False)
         if bucket_frames:
-            pianoroll = pianoroll[:, :t_true]
+            # multi-instrument rolls are (B, out_class, T, 88): time sits
+            # behind the channel axis (`SegmentationModule.__call__`)
+            pianoroll = (pianoroll[:, :, :t_true] if self.out_class > 1
+                         else pianoroll[:, :t_true])
         return {"onset": pianoroll, "frame": pianoroll}
 
     def transcribe_streaming(self, variables, audio, window_frames=640,
@@ -660,14 +665,27 @@ class SemanticSegmentation:
         larger than the flagship's: the 17x17 attention pair at the
         /16-resolution bottleneck alone sees +-256 full-resolution
         frames of context."""
+        import jax.numpy as jnp
+
         from .common import transcribe_streaming
+
+        multi = self.out_class > 1
 
         def forward(variables, spec_image):
             roll = self.module.apply(variables, spec_image, train=False)
+            if multi:
+                # harness stitches along axis 1: present (B, T, C, 88)
+                roll = jnp.moveaxis(roll, 1, 2)
             return {"onset": roll, "frame": roll}
 
-        return transcribe_streaming(self, forward, variables, audio,
-                                    window_frames, halo_frames)
+        rolls = transcribe_streaming(self, forward, variables, audio,
+                                     window_frames, halo_frames)
+        if multi:  # back to the reference's (B, out_class, T, 88)
+            import jax
+
+            rolls = jax.tree_util.tree_map(
+                lambda r: jnp.moveaxis(r, 2, 1), rolls)
+        return rolls
 
     def load_reference_weights(self, path: str, variables):
         from ..train.torch_convert import load_torch_checkpoint, torch_to_flax

@@ -117,3 +117,50 @@ def test_streaming_segmentation():
     # reduction noise through the 15-BN pre-activation cascade)
     np.testing.assert_allclose(s[:, :-64], f[:, :-64], atol=1e-4)
     np.testing.assert_allclose(s[:, -64:], f[:, -64:], atol=1e-3)
+
+
+def test_streaming_segmentation_multi_instrument():
+    """out_class > 1 rolls are (B, out_class, T, 88) — time behind the
+    channel axis (the reference's no-op squeeze(1),
+    `model/Segmentation.py:531`). The bucketed trim and the streaming
+    stitcher must slice the TIME axis, not the channel axis."""
+    from reconvat_tpu.models.segmentation import SemanticSegmentation
+
+    model = SemanticSegmentation(out_class=2)
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=256)
+
+    # short clip: bucketed trim + the streaming short-clip fallback
+    short = _song(10.0, seed=7)                      # 313 frames
+    t_true = (short.shape[1] - 1) // C.HOP_LENGTH + 1
+    exact = np.asarray(model.transcribe(variables, short)["frame"],
+                       np.float32)
+    assert exact.shape == (1, 2, t_true, 88)
+    bucketed = np.asarray(
+        model.transcribe(variables, short, bucket_frames=512)["frame"],
+        np.float32)
+    assert bucketed.shape == (1, 2, t_true, 88)
+    # the bottleneck attention sees the pad frames, so bucketed-vs-exact
+    # carries a small global wiggle that grows with the pad length
+    # (313 -> 512 here); axis errors would fail the shape asserts or
+    # produce O(1) diffs
+    np.testing.assert_allclose(bucketed[:, :, :-64], exact[:, :, :-64],
+                               atol=2e-3)
+    fallback = np.asarray(
+        model.transcribe_streaming(variables, short)["frame"], np.float32)
+    assert fallback.shape == (1, 2, t_true, 88)
+    np.testing.assert_allclose(fallback, bucketed, atol=2e-3)
+
+    # long song: multi-window stitch along the true time axis
+    audio = _song(40.0, seed=8)                      # 1250 frames, 2 windows
+    t_long = (audio.shape[1] - 1) // C.HOP_LENGTH + 1
+    full = np.asarray(
+        model.transcribe(variables, audio, bucket_frames=512)["frame"],
+        np.float32)
+    streamed = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=640,
+                                   halo_frames=256)["frame"], np.float32)
+    assert streamed.shape == (1, 2, t_long, 88) == full.shape
+    np.testing.assert_allclose(streamed[:, :, :-64], full[:, :, :-64],
+                               atol=2e-3)
+    np.testing.assert_allclose(streamed[:, :, -64:], full[:, :, -64:],
+                               atol=5e-3)
