@@ -31,7 +31,8 @@ def _probe_backend(timeout_s: int = 180):
     backend init, however long it takes)."""
     import subprocess
 
-    if os.environ.get("BENCH_NO_PROBE"):
+    flag = os.environ.get("BENCH_NO_PROBE")
+    if flag and flag != "0":
         return
     probe = subprocess.run(
         [sys.executable, "-c",

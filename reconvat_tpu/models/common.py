@@ -170,7 +170,8 @@ def _frame_slice_audio(audio, f0: int, f1: int, t_pad: int):
 
 
 def transcribe_streaming(model, forward, variables, audio,
-                         window_frames: int = 640, halo_frames: int = 128):
+                         window_frames: int = 640, halo_frames: int = 128,
+                         windows_per_batch: int = 1, mesh_ctx=None):
     """Bounded-memory full-song transcription: haloed fixed-shape windows.
 
     The bucketed path (`transcribe_spec`) materializes the whole song's
@@ -194,11 +195,27 @@ def transcribe_streaming(model, forward, variables, audio,
     is the model's deployment forward, returning a (B, T, out_pitches)
     roll or any pytree of such rolls (UNetOnset returns {frame, onset}).
 
+    `windows_per_batch=G` stacks G same-shape windows into one forward
+    (leading axis G*B): per-window math is unchanged, but an hour-scale
+    song needs G× fewer device round trips and fills the chip at B=1.
+    Peak memory grows with G. With `mesh_ctx` (a `parallel.mesh
+    .MeshContext`), the stacked window axis is sharded over the mesh's
+    batch axis — multi-chip serving of one long recording (G*B must
+    divide by the axis size).
+
     Reference context: `model/self_attention_VAT.py:1293-1314` runs full
     songs in one eager forward — unbounded memory; this is the TPU-native
     serving equivalent.
     """
     import jax
+
+    # Jitted callables are cached on the model instance so a directory of
+    # recordings traces/compiles the forward once, not once per song.
+    # `forward` is a fresh closure each call but always the same code
+    # closing over the same model — key by its code object.
+    cache = getattr(model, "_streaming_jit_cache", None)
+    if cache is None:
+        cache = model._streaming_jit_cache = {}
 
     B, n = audio.shape
     t_true = frames_in(n)
@@ -210,16 +227,23 @@ def transcribe_streaming(model, forward, variables, audio,
     span = W + 2 * H
 
     if t_true <= span:  # short clip: one bucketed call is already bounded
-        spec = make_log_norm_spec(model, pad_audio_to_frames(
-            audio, span), frames_in(n))
-        rolls = forward(variables, spec[..., None])
+        key = ("short", forward.__code__)
+        if key not in cache:
+            def _short(variables, a, t):
+                spec = make_log_norm_spec(model, a, t)
+                return forward(variables, spec[..., None])
+            cache[key] = jax.jit(_short)
+        rolls = cache[key](variables, pad_audio_to_frames(audio, span),
+                           t_true)
         return jax.tree_util.tree_map(lambda r: r[:, :t_true], rolls)
 
     # pass 1: global normalization statistics (imagewise only)
     imagewise = getattr(model.normalize, "mode", "imagewise") == "imagewise"
     gmin = gmax = None
     if imagewise:
-        spec_chunk = jax.jit(lambda a: make_log_spec(model, a))
+        if "spec_chunk" not in cache:
+            cache["spec_chunk"] = jax.jit(lambda a: make_log_spec(model, a))
+        spec_chunk = cache["spec_chunk"]
         mins, maxs = [], []
         E = 4  # spectrogram edge halo (center window 2048 = 4 hops)
         for w0 in range(0, t_true, W):
@@ -234,34 +258,68 @@ def transcribe_streaming(model, forward, variables, audio,
         gmax = jnp.asarray(np.max(maxs, axis=0)).reshape(B, 1, 1)
 
     # pass 2: haloed windows, one compiled shape
-    def _window(variables, a, lo, hi):
-        spec = make_log_spec(model, a)
-        if imagewise:
-            spec = (spec - lo) / (hi - lo)
-        else:
-            spec = model.normalize(spec)
-        return forward(variables, spec[..., None])
+    key = ("window", forward.__code__, imagewise)
+    if key not in cache:
+        def _window(variables, a, lo, hi):
+            spec = make_log_spec(model, a)
+            if imagewise:
+                spec = (spec - lo) / (hi - lo)
+            else:
+                spec = model.normalize(spec)
+            return forward(variables, spec[..., None])
+        cache[key] = jax.jit(_window)
+    window = cache[key]
 
-    window = jax.jit(_window)
+    # Window starts, padded to a multiple of G with duplicates of the
+    # last start (their outputs are discarded) so every group runs the
+    # one compiled (G*B, span) shape.
+    G = max(1, int(windows_per_batch))
+    starts = list(range(0, t_true, W))
+    n_real = len(starts)
+    while len(starts) % G:
+        starts.append(starts[-1])
+
+    lo = hi = None
+    if imagewise:  # (G*B, 1, 1), g*B+b ordering matching the stack below
+        lo, hi = jnp.tile(gmin, (G, 1, 1)), jnp.tile(gmax, (G, 1, 1))
+    if mesh_ctx is not None:
+        from ..parallel.mesh import replicate
+
+        variables = replicate(variables, mesh_ctx)
+        batch_sh = mesh_ctx.sharding(mesh_ctx.batch_axis)
+        if imagewise:
+            lo, hi = (jax.device_put(v, batch_sh) for v in (lo, hi))
+
     out = None
-    for w0 in range(0, t_true, W):
-        w1 = min(t_true, w0 + W)
+    for gi in range(0, len(starts), G):
+        group = starts[gi:gi + G]
         # f0 = w0 - H keeps every window's stride-2 downsampling grids
         # anchored like the full-song run (W and H are multiples of the
         # total stride, asserted above); the last window's slice runs
         # past the song end and pads exactly like the bucketed path
         # (reflect at the true end, then zeros), so the final frames
         # carry the same end-halo semantics the evaluation path has.
-        f0 = max(0, w0 - H)
-        a = _frame_slice_audio(audio, f0, f0 + span, span)
-        rolls = window(variables, a, gmin, gmax)
+        xp = jnp if isinstance(audio, jnp.ndarray) else np
+        aa = xp.stack([_frame_slice_audio(
+            audio, max(0, w0 - H), max(0, w0 - H) + span, span)
+            for w0 in group]).reshape(G * B, -1)
+        if mesh_ctx is not None:
+            aa = jax.device_put(aa, batch_sh)
+        rolls = window(variables, aa, lo, hi)
+        rolls = jax.tree_util.tree_map(
+            lambda r: np.asarray(r, np.float32).reshape(
+                (G, B) + r.shape[1:]), rolls)
         if out is None:
             out = jax.tree_util.tree_map(
-                lambda r: np.zeros((B, t_true) + r.shape[2:], np.float32),
+                lambda r: np.zeros((B, t_true) + r.shape[3:], np.float32),
                 rolls)
-        jax.tree_util.tree_map(
-            lambda dst, r: dst.__setitem__(
-                (slice(None), slice(w0, w1)),
-                np.asarray(r[:, w0 - f0:w1 - f0], np.float32)),
-            out, rolls)
+        for i, w0 in enumerate(group):
+            if gi + i >= n_real:
+                break
+            w1, f0 = min(t_true, w0 + W), max(0, w0 - H)
+            jax.tree_util.tree_map(
+                lambda dst, r: dst.__setitem__(
+                    (slice(None), slice(w0, w1)),
+                    r[i][:, w0 - f0:w1 - f0]),
+                out, rolls)
     return jax.tree_util.tree_map(jnp.asarray, out)

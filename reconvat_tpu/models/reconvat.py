@@ -379,12 +379,15 @@ class ReconVAT:
         return {"onset": pianoroll, "frame": pianoroll}
 
     def transcribe_streaming(self, variables, audio, window_frames=640,
-                             halo_frames=128):
+                             halo_frames=128, windows_per_batch=1,
+                             mesh_ctx=None):
         """Bounded-memory transcription for hour-scale recordings: haloed
         fixed-shape windows with song-global normalization statistics;
         peak memory is O(window + 2*halo) regardless of length. Matches
         `transcribe` wherever the halo covers the transcriber's receptive
-        field (see `models/common.transcribe_streaming`)."""
+        field. `windows_per_batch`/`mesh_ctx` batch the same-shape windows
+        into one forward and shard them over a device mesh (see
+        `models/common.transcribe_streaming`)."""
         from .common import transcribe_streaming
 
         def forward(variables, spec_image):
@@ -392,7 +395,8 @@ class ReconVAT:
             return out[1] if self.reconstruction else out[0]
 
         roll = transcribe_streaming(self, forward, variables, audio,
-                                    window_frames, halo_frames)
+                                    window_frames, halo_frames,
+                                    windows_per_batch, mesh_ctx)
         return {"onset": roll, "frame": roll}
 
     # -- weights -------------------------------------------------------------

@@ -55,11 +55,16 @@ def resolve_seg_layout(layout: str) -> str:
     measured on a chip (the flagship's was); flip this to the measured
     winner. `RECONVAT_SEG_LAYOUT` overrides.
     """
-    if layout != "auto":
-        return layout
     import os
 
-    return os.environ.get("RECONVAT_SEG_LAYOUT") or "nhwc"
+    env = os.environ.get("RECONVAT_SEG_LAYOUT")
+    resolved = layout if layout != "auto" else (env or "nhwc")
+    if resolved not in ("folded", "nhwc"):
+        raise ValueError(
+            f"unknown Segmentation layout {resolved!r} (from "
+            f"{'RECONVAT_SEG_LAYOUT' if layout == 'auto' and env else 'conv_layout'}): "
+            "expected 'auto', 'folded' or 'nhwc'")
+    return resolved
 
 
 def _pad_amount(size, k, s):
@@ -659,12 +664,23 @@ class SemanticSegmentation:
         return {"onset": pianoroll, "frame": pianoroll}
 
     def transcribe_streaming(self, variables, audio, window_frames=640,
-                             halo_frames=256):
+                             halo_frames=256, windows_per_batch=1,
+                             mesh_ctx=None):
         """Bounded-memory transcription (haloed fixed-shape windows) —
-        see `models/common.transcribe_streaming`. The default halo is
-        larger than the flagship's: the 17x17 attention pair at the
-        /16-resolution bottleneck alone sees +-256 full-resolution
-        frames of context."""
+        see `models/common.transcribe_streaming`.
+
+        Unlike the flagship (banded window-31 attention, receptive field
+        well inside halo 128), this model's receptive field exceeds any
+        practical fixed halo: the 17x17 attention pair at the
+        /16-resolution bottleneck alone sees +-256 full-resolution frames,
+        and the ~30-conv encoder/decoder adds hundreds more. Streaming
+        output is therefore an *approximation* near window seams — the
+        default halo 256 covers the attention context, and the observed
+        posterior deviation vs the one-shot path is ~3e-5 at
+        random init (tests/test_streaming_transcribe.py); raise
+        `halo_frames` for tighter agreement at proportional compute cost.
+        The one-shot `transcribe` path is exact and preferred below
+        ~10 min of audio."""
         import jax.numpy as jnp
 
         from .common import transcribe_streaming
@@ -679,7 +695,8 @@ class SemanticSegmentation:
             return {"onset": roll, "frame": roll}
 
         rolls = transcribe_streaming(self, forward, variables, audio,
-                                     window_frames, halo_frames)
+                                     window_frames, halo_frames,
+                                     windows_per_batch, mesh_ctx)
         if multi:  # back to the reference's (B, out_class, T, 88)
             import jax
 

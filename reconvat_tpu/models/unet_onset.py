@@ -284,7 +284,8 @@ class UNetOnset:
         return {"onset": onset, "frame": pianoroll}
 
     def transcribe_streaming(self, variables, audio, window_frames=640,
-                             halo_frames=128):
+                             halo_frames=128, windows_per_batch=1,
+                             mesh_ctx=None):
         """Bounded-memory transcription (haloed fixed-shape windows) —
         see `models/common.transcribe_streaming`."""
         from .common import transcribe_streaming
@@ -298,7 +299,8 @@ class UNetOnset:
             return {"onset": onset, "frame": pianoroll}
 
         return transcribe_streaming(self, forward, variables, audio,
-                                    window_frames, halo_frames)
+                                    window_frames, halo_frames,
+                                    windows_per_batch, mesh_ctx)
 
     def load_reference_weights(self, path: str, variables):
         from ..train.torch_convert import load_torch_checkpoint, torch_to_flax

@@ -59,14 +59,17 @@ def resolve_conv_layout(layout: str) -> str:
     cuDNN pay the folded path's k-fold extra MACs for nothing.
     `RECONVAT_UNET_LAYOUT` overrides.
     """
-    if layout != "auto":
-        return layout
     import os
 
     env = os.environ.get("RECONVAT_UNET_LAYOUT")
-    if env:
-        return env
-    return "folded" if jax.default_backend() == "tpu" else "nhwc"
+    resolved = layout if layout != "auto" else (
+        env or ("folded" if jax.default_backend() == "tpu" else "nhwc"))
+    if resolved not in ("folded", "nhwc"):
+        raise ValueError(
+            f"unknown U-Net layout {resolved!r} (from "
+            f"{'RECONVAT_UNET_LAYOUT' if layout == 'auto' and env else 'conv_layout'}): "
+            "expected 'auto', 'folded' or 'nhwc'")
+    return resolved
 
 
 # ---------------------------------------------------------------------------
@@ -462,11 +465,6 @@ class TorchConvTranspose(nn.Module):
         if bias is not None:
             out = out + jnp.tile(bias, fold_out.k)
         return out
-
-
-def _bn(name=None):
-    return nn.BatchNorm(momentum=1.0 - BATCHNORM_MOMENTUM, epsilon=1e-5,
-                        name=name)
 
 
 class MaskedBatchNorm(nn.Module):

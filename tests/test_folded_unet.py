@@ -168,3 +168,23 @@ def test_folded_bf16_matches_nhwc_bf16():
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(roll2_f), np.asarray(roll2_n),
                                atol=5e-4)
+
+
+def test_layout_resolvers_reject_unknown_strings(monkeypatch):
+    """A typo'd layout (e.g. RECONVAT_UNET_LAYOUT=fold) must error, not
+    silently run the nhwc path and corrupt an A/B measurement."""
+    import pytest
+
+    from reconvat_tpu.models.segmentation import resolve_seg_layout
+    from reconvat_tpu.nn.unet import resolve_conv_layout
+
+    assert resolve_conv_layout("nhwc") == "nhwc"
+    assert resolve_seg_layout("folded") == "folded"
+    for fn, env in ((resolve_conv_layout, "RECONVAT_UNET_LAYOUT"),
+                    (resolve_seg_layout, "RECONVAT_SEG_LAYOUT")):
+        with pytest.raises(ValueError, match="unknown"):
+            fn("fold")
+        monkeypatch.setenv(env, "foldd")
+        with pytest.raises(ValueError, match=env):
+            fn("auto")
+        monkeypatch.delenv(env)

@@ -164,3 +164,69 @@ def test_streaming_segmentation_multi_instrument():
                                atol=2e-3)
     np.testing.assert_allclose(streamed[:, :, -64:], full[:, :, -64:],
                                atol=5e-3)
+
+
+def test_streaming_jit_cache_reused_across_songs():
+    """A directory of recordings must compile the window forward once:
+    the jitted callables live on the model instance, keyed by the
+    wrapper's forward code object (models/common.transcribe_streaming)."""
+    model = ReconVAT(reconstruction=True, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=256)
+
+    model.transcribe_streaming(variables, _song(30.0, seed=2),
+                               window_frames=512, halo_frames=128)
+    cache = model._streaming_jit_cache
+    window_keys = [k for k in cache if k[0] == "window"]
+    assert len(window_keys) == 1 and "spec_chunk" in cache
+    jitted = cache[window_keys[0]]
+
+    # second song, same shapes: same jitted wrapper object, no new entries
+    model.transcribe_streaming(variables, _song(30.0, seed=3),
+                               window_frames=512, halo_frames=128)
+    assert cache[window_keys[0]] is jitted
+    assert [k for k in cache if k[0] == "window"] == window_keys
+
+    # short clip routes through a cached jitted fallback too
+    model.transcribe_streaming(variables, _song(6.0, seed=4),
+                               window_frames=512, halo_frames=128)
+    assert any(k[0] == "short" for k in cache)
+
+
+def test_streaming_window_batching_matches_per_window():
+    """windows_per_batch=G stacks G same-shape windows per forward; the
+    per-window math is unchanged, so outputs match the G=1 path
+    (including the duplicated-padding tail group)."""
+    model = ReconVAT(reconstruction=True, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=256)
+    audio = _song(64.0, seed=5)  # 2000 frames -> 4 windows at W=512
+
+    one = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=512,
+                                   halo_frames=128)["frame"], np.float32)
+    grouped = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=512,
+                                   halo_frames=128,
+                                   windows_per_batch=3)["frame"], np.float32)
+    assert grouped.shape == one.shape
+    np.testing.assert_allclose(grouped, one, atol=1e-5)
+
+
+def test_streaming_mesh_sharded_windows_match():
+    """mesh_ctx shards the stacked window axis over the mesh batch axis:
+    multi-chip serving of one long recording, same numbers."""
+    from reconvat_tpu.parallel.mesh import MeshContext, make_mesh
+
+    model = ReconVAT(reconstruction=True, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=256)
+    audio = _song(64.0, seed=6)  # 4 windows at W=512
+
+    base = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=512,
+                                   halo_frames=128)["frame"], np.float32)
+    ctx = MeshContext(make_mesh(8, dp=4, sp=2))
+    sharded = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=512,
+                                   halo_frames=128, windows_per_batch=4,
+                                   mesh_ctx=ctx)["frame"], np.float32)
+    assert sharded.shape == base.shape
+    np.testing.assert_allclose(sharded, base, atol=1e-5)

@@ -25,7 +25,8 @@ output_path = os.path.join(root, "Output")
 
 def transcribe2midi(data, model, variables, model_type, onset_threshold=0.5,
                     frame_threshold=0.5, save_path=None, rule="rule2",
-                    bucket_frames=0, streaming=False):
+                    bucket_frames=0, streaming=False,
+                    streaming_windows=1):
     """Reference `transcribe2midi` (`transcribe_files.py:12-40`)."""
     import inspect
 
@@ -39,8 +40,11 @@ def transcribe2midi(data, model, variables, model_type, onset_threshold=0.5,
     for item in data:
         audio = jnp.asarray(item["audio"])[None, :]
         if streaming and streamer is not None:
-            # bounded-memory haloed windows for hour-scale recordings
-            pred = streamer(variables, audio)
+            # bounded-memory haloed windows for hour-scale recordings;
+            # streaming_windows>1 batches that many same-shape windows
+            # per forward (fewer device round trips)
+            pred = streamer(variables, audio,
+                            windows_per_batch=streaming_windows)
         elif bucket_frames and supports_bucket:
             pred = model.transcribe(variables, audio,
                                     bucket_frames=bucket_frames)
@@ -73,8 +77,10 @@ def config():
     # compiled shapes (0 = exact per-song shapes, reference-identical)
     bucket_frames = 512
     # streaming=True: bounded-memory haloed-window transcription for
-    # hour-scale inputs (models/common.transcribe_streaming)
+    # hour-scale inputs (models/common.transcribe_streaming);
+    # streaming_windows = windows stacked per forward when streaming
     streaming = False
+    streaming_windows = 1
     # reference hardcodes Application/{Input,Output}
     # (`transcribe_files.py:47-48`); same defaults, overridable here
     input_path = os.path.join("Application", "Input")
@@ -83,7 +89,7 @@ def config():
 
 @ex.automain
 def main(device, model_type, weight_path, bucket_frames, streaming,
-         input_path, output_path):
+         streaming_windows, input_path, output_path):
     if device == "cpu":
         import jax
 
@@ -129,4 +135,4 @@ def main(device, model_type, weight_path, bucket_frames, streaming,
     print("Transcribing Music")
     transcribe2midi(application_dataset, model, variables, model_type,
                     save_path=output_path, bucket_frames=bucket_frames,
-                    streaming=streaming)
+                    streaming=streaming, streaming_windows=streaming_windows)
