@@ -97,28 +97,40 @@ class BiLSTM(nn.Module):
             k1, k2 = jax.random.split(key)
             return shifted(k1, shape, dtype) + shifted(k2, shape, dtype)
 
-        outs = []
-        for direction in ("fwd", "bwd"):
-            w_ih = self.param(f"{direction}_w_ih", shifted, (F, 4 * H))
-            w_hh = self.param(f"{direction}_w_hh", shifted, (H, 4 * H))
-            bias = self.param(f"{direction}_bias", bias_init, (4 * H,))
+        params = {d: (self.param(f"{d}_w_ih", shifted, (F, 4 * H)),
+                      self.param(f"{d}_w_hh", shifted, (H, 4 * H)),
+                      self.param(f"{d}_bias", bias_init, (4 * H,)))
+                  for d in ("fwd", "bwd")}
 
-            xw = jnp.einsum("btf,fg->btg", x, w_ih) + bias   # hoisted
-            xw = jnp.swapaxes(xw, 0, 1)                      # (T, B, 4H)
+        # Both directions advance in ONE scan (stacked direction axis d):
+        # two separate scans would run 2T serial steps, and the scan is
+        # latency-bound on TPU, not FLOP-bound — doubling the (tiny)
+        # per-step matmul while halving the step count is ~2x on the
+        # recurrence. The backward direction's inputs are time-flipped so
+        # a single forward scan advances both recurrences; per-direction
+        # math (einsum contraction per d) is unchanged vs two scans.
+        w_ih = jnp.stack([params["fwd"][0], params["bwd"][0]])  # (2,F,4H)
+        w_hh = jnp.stack([params["fwd"][1], params["bwd"][1]])  # (2,H,4H)
+        bias = jnp.stack([params["fwd"][2], params["bwd"][2]])  # (2,4H)
 
-            def step(carry, xw_t, w_hh=w_hh):
-                h, c = carry
-                gates = xw_t + h @ w_hh
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
-                h = nn.sigmoid(o) * jnp.tanh(c)
-                return (h, c), h
+        xw = jnp.einsum("btf,dfg->dbtg", x, w_ih) \
+            + bias[:, None, None]                       # hoisted, (2,B,T,4H)
+        xw = jnp.stack([xw[0], xw[1, :, ::-1]])         # flip bwd time
+        xw = jnp.moveaxis(xw, 2, 0)                     # (T, 2, B, 4H)
 
-            zero = jnp.zeros((B, H), x.dtype)
-            _, ys = jax.lax.scan(step, (zero, zero), xw,
-                                 reverse=direction == "bwd")
-            outs.append(jnp.swapaxes(ys, 0, 1))
-        return jnp.concatenate(outs, axis=-1)
+        def step(carry, xw_t):
+            h, c = carry                                # (2, B, H)
+            gates = xw_t + jnp.einsum("dbh,dhg->dbg", h, w_hh)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+            h = nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        zero = jnp.zeros((2, B, H), x.dtype)
+        _, ys = jax.lax.scan(step, (zero, zero), xw)    # (T, 2, B, H)
+        fwd = jnp.swapaxes(ys[:, 0], 0, 1)
+        bwd = jnp.swapaxes(ys[::-1, 1], 0, 1)           # unflip bwd time
+        return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 class OnsetStack(nn.Module):
