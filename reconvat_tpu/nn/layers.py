@@ -9,6 +9,8 @@ replicated; scan has no such issue.
 """
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -126,8 +128,15 @@ class BiLSTM(nn.Module):
             h = nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
+        # unroll > 1 trades code size for fewer while-loop trips (the
+        # scan is latency-bound); numerics are identical at any value.
+        # RECONVAT_LSTM_UNROLL overrides for measurement; default 1
+        # until a chip A/B shows a win (tools/bench_families.py
+        # --families OnsetsAndFrames).
+        unroll = int(os.environ.get("RECONVAT_LSTM_UNROLL", "1"))
         zero = jnp.zeros((2, B, H), x.dtype)
-        _, ys = jax.lax.scan(step, (zero, zero), xw)    # (T, 2, B, H)
+        _, ys = jax.lax.scan(step, (zero, zero), xw,
+                             unroll=unroll)             # (T, 2, B, H)
         fwd = jnp.swapaxes(ys[:, 0], 0, 1)
         bwd = jnp.swapaxes(ys[::-1, 1], 0, 1)           # unflip bwd time
         return jnp.concatenate([fwd, bwd], axis=-1)

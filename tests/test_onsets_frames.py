@@ -94,6 +94,19 @@ def test_bilstm_grads_match_torch():
                                atol=1e-5)
 
 
+def test_bilstm_unroll_is_numerically_identical(monkeypatch):
+    """RECONVAT_LSTM_UNROLL is a pure scheduling knob: scan unrolling
+    must not change a single bit of the output."""
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 17, 12)
+                    .astype(np.float32))
+    mod = BiLSTM(5)
+    v = mod.init(jax.random.PRNGKey(7), x)
+    base = np.asarray(jax.jit(mod.apply)(v, x))
+    monkeypatch.setenv("RECONVAT_LSTM_UNROLL", "4")
+    unrolled = np.asarray(jax.jit(mod.apply)(v, x))
+    np.testing.assert_array_equal(base, unrolled)
+
+
 def test_bilstm_fresh_bias_matches_torch_distribution():
     """Fused bias stands for torch's b_ih + b_hh: two independent
     U(+-1/sqrt(H)) draws summed (triangular on +-2/sqrt(H)). A single
