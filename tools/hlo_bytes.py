@@ -140,6 +140,8 @@ def main():
     ap.add_argument("--frames", type=int, default=640)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--attn", default="xla")
+    ap.add_argument("--layout", default="auto",
+                    help="U-Net conv layout: auto|folded|nhwc")
     ap.add_argument("--infer", action="store_true")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logical", action="store_true",
@@ -165,7 +167,7 @@ def main():
         from reconvat_tpu.models.common import pack_roll_device
 
         model = ReconVAT(reconstruction=True, attn_impl=args.attn,
-                         compute_dtype=dtype)
+                         compute_dtype=dtype, conv_layout=args.layout)
         variables = model.init(jax.random.PRNGKey(0), seq_frames=F)
 
         def fwd(variables, audio_i16):
@@ -188,7 +190,7 @@ def main():
             }
 
         model = ReconVAT(reconstruction=True, attn_impl=args.attn,
-                         compute_dtype=dtype)
+                         compute_dtype=dtype, conv_layout=args.layout)
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    seq_frames=F)
         step = make_train_step(model, 1.0, vat=True, use_unlabeled=True)

@@ -54,6 +54,7 @@ def config():
     seed = 42
     compute_dtype = 'bfloat16'  # fp32 params/BN/heads; None = full fp32
     attn_impl = 'auto'  # 'auto'|'xla'|'pallas' (see nn/attention.py)
+    conv_layout = 'auto'  # 'auto'|'folded'|'nhwc' U-Net layout (nn/unet.py)
 
     logdir = (f"{root}/Unet_Onset-recons={reconstruction}-XI={XI}-eps={eps}"
               f"-alpha={alpha}-train_on=small_{small}_{train_on}"
@@ -65,7 +66,7 @@ def config():
 
 @ex.automain
 def train(spec, device, log, reconstruction, XI, eps, KL_Div,
-          compute_dtype, attn_impl, **_ignored):
+          compute_dtype, attn_impl, conv_layout, **_ignored):
     if device == "cpu":
         import jax
 
@@ -78,5 +79,5 @@ def train(spec, device, log, reconstruction, XI, eps, KL_Div,
     model = UNetOnset(log=log, reconstruction=reconstruction, mode=mode,
                       spec=spec, xi=XI, eps=eps, kl_div=KL_Div,
                       compute_dtype=compute_dtype,
-                      attn_impl=attn_impl)
+                      attn_impl=attn_impl, conv_layout=conv_layout)
     return run_training(model, ex.current_run.config)

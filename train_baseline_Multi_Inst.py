@@ -52,6 +52,7 @@ def config():
     refresh = False
     seed = 42
     compute_dtype = None   # 'bfloat16' = mixed-precision compute
+    conv_layout = 'auto'   # 'auto'|'folded'|'nhwc' (see models/segmentation.py)
 
     logdir = (f"{root}/VAT_Segmentation={reconstruction}-KL={KL_Div}-XI={XI}"
               f"-eps={eps}-alpha={alpha}-train_on=small_{small}_{train_on}"
@@ -63,7 +64,7 @@ def config():
 
 @ex.automain
 def train(spec, device, log, XI, eps, KL_Div, out_class,
-          compute_dtype, **_ignored):
+          compute_dtype, conv_layout, **_ignored):
     if device == "cpu":
         import jax
 
@@ -75,5 +76,6 @@ def train(spec, device, log, XI, eps, KL_Div, out_class,
 
     model = SemanticSegmentation(out_class=out_class, log=log, mode=mode,
                                  spec=spec, xi=XI, eps=eps, kl_div=KL_Div,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 conv_layout=conv_layout)
     return run_training(model, ex.current_run.config)
