@@ -50,15 +50,18 @@ N_KEYS = C.N_KEYS
 def resolve_seg_layout(layout: str) -> str:
     """Resolve the 'auto' Segmentation computation layout.
 
-    Currently 'auto' -> 'nhwc' everywhere: the folded layout is
-    implemented and parity-tested but its step-time win has not yet been
-    measured on a chip (the flagship's was); flip this to the measured
-    winner. `RECONVAT_SEG_LAYOUT` overrides.
+    'auto' -> 'folded' on TPU, 'nhwc' elsewhere — measured decision
+    (`bench_logs/r4_seg_ab.log`, v5e chip, B=8+8 x 640 VAT train step,
+    bf16): folded 336.2 ms/step vs nhwc 471.1 ms/step = 1.40x. The win
+    is smaller than the flagship U-Net's 3.21x because Segmentation's
+    32-channel-everywhere widths pad less and its 17x17 2D attention is
+    layout-independent. `RECONVAT_SEG_LAYOUT` overrides.
     """
     import os
 
     env = os.environ.get("RECONVAT_SEG_LAYOUT")
-    resolved = layout if layout != "auto" else (env or "nhwc")
+    resolved = layout if layout != "auto" else (
+        env or ("folded" if jax.default_backend() == "tpu" else "nhwc"))
     if resolved not in ("folded", "nhwc"):
         raise ValueError(
             f"unknown Segmentation layout {resolved!r} (from "
