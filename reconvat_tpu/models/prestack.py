@@ -26,9 +26,12 @@ N_KEYS = C.N_KEYS
 
 
 class BasicBlock(nn.Module):
+    """torchvision BasicBlock. Submodule names (incl. the `downsample`
+    Sequential's 0/1 indices) mirror torchvision's state_dict names so
+    `Prestack.load_reference_weights` converts mechanically."""
     features: int
     strides: int = 1
-    downsample: bool = False
+    use_downsample: bool = False
     dtype: str | None = None   # computation dtype; params/BN stay fp32
 
     def setup(self):
@@ -41,27 +44,30 @@ class BasicBlock(nn.Module):
                              use_bias=False, kernel_init=torch_conv_init,
                              dtype=self.dtype)
         self.bn2 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
-        if self.downsample:
-            self.down_conv = nn.Conv(self.features, (1, 1),
-                                     strides=(self.strides, self.strides),
-                                     use_bias=False,
-                                     kernel_init=torch_conv_init,
-                                     dtype=self.dtype)
-            self.down_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        if self.use_downsample:
+            # [conv, bn] like torchvision's downsample Sequential
+            self.downsample = [
+                nn.Conv(self.features, (1, 1),
+                        strides=(self.strides, self.strides),
+                        use_bias=False, kernel_init=torch_conv_init,
+                        dtype=self.dtype),
+                nn.BatchNorm(momentum=0.9, epsilon=1e-5),
+            ]
 
     def __call__(self, x, train: bool):
         identity = x
         out = nn.relu(self.bn1(self.conv1(x), use_running_average=not train))
         out = self.bn2(self.conv2(out), use_running_average=not train)
-        if self.downsample:
-            identity = self.down_bn(self.down_conv(x),
-                                    use_running_average=not train)
+        if self.use_downsample:
+            identity = self.downsample[1](self.downsample[0](x),
+                                          use_running_average=not train)
         return nn.relu(out + identity)
 
 
 class ResNet18(nn.Module):
     """torchvision resnet18 graph: conv7x7/2 -> maxpool3/2 -> 4 stages of 2
-    BasicBlocks (64/128/256/512) -> global avgpool -> fc."""
+    BasicBlocks (64/128/256/512) -> global avgpool -> fc. Stage attribute
+    names `layer1..layer4` mirror torchvision state_dict names."""
     num_classes: int = N_KEYS
     in_features: int = 64
     dtype: str | None = None
@@ -71,15 +77,16 @@ class ResNet18(nn.Module):
                              padding=[(3, 3), (3, 3)], use_bias=False,
                              kernel_init=torch_conv_init, dtype=self.dtype)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
-        blocks = []
-        for stage, (feats, stride) in enumerate(
-                [(64, 1), (128, 2), (256, 2), (512, 2)]):
-            for i in range(2):
-                s = stride if i == 0 else 1
-                blocks.append(BasicBlock(feats, s,
-                                         downsample=(i == 0 and stage > 0),
-                                         dtype=self.dtype))
-        self.blocks = blocks
+
+        def stage(feats, stride, downsample):
+            return [BasicBlock(feats, stride, use_downsample=downsample,
+                               dtype=self.dtype),
+                    BasicBlock(feats, 1, dtype=self.dtype)]
+
+        self.layer1 = stage(64, 1, False)
+        self.layer2 = stage(128, 2, True)
+        self.layer3 = stage(256, 2, True)
+        self.layer4 = stage(512, 2, True)
         self.fc = nn.Dense(self.num_classes, kernel_init=torch_conv_init)
 
     def __call__(self, x, train: bool):
@@ -87,8 +94,9 @@ class ResNet18(nn.Module):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        for block in self.blocks:
-            x = block(x, train)
+        for stage in (self.layer1, self.layer2, self.layer3, self.layer4):
+            for block in stage:
+                x = block(x, train)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         return self.fc(x)
 
@@ -186,3 +194,31 @@ class Prestack:
         if bucket_frames:
             frame_pred = frame_pred[:, :t_true]
         return {"onset": frame_pred, "frame": frame_pred}
+
+    def load_reference_weights(self, path: str, variables):
+        """Load a reference `Prestack_Model` torch state_dict.
+
+        Key map (`model/Unet_prestack.py:113-124`): the reference wraps
+        `nn.Sequential(unet, resnet)` as `prestack_model`, so U-Net keys
+        carry a `prestack_model.0.` prefix and torchvision-resnet keys a
+        `prestack_model.1.` prefix; remaining numeric path components are
+        torch Sequential indices, which flax writes as `name_i`.
+        """
+        import re
+
+        from ..train.torch_convert import load_torch_checkpoint, torch_to_flax
+
+        sd = load_torch_checkpoint(path)
+        renamed = {}
+        for k, v in sd.items():
+            if k.startswith("prestack_model.0."):
+                k = k[len("prestack_model.0."):]
+            elif k.startswith("prestack_model.1."):
+                k = "resnet." + k[len("prestack_model.1."):]
+            renamed[re.sub(r"\.(\d+)\.", r"_\1.", k)] = v
+        converted, report = torch_to_flax(renamed, variables)
+        residual = [k for k in report["skipped"]
+                    if not k.startswith(("spectrogram.", "normalize."))]
+        if residual:
+            raise ValueError(f"unconverted model weights: {residual}")
+        return converted

@@ -127,3 +127,94 @@ def reference_module(name):
         pkg.__path__ = [f"{REFERENCE_ROOT}/model"]
         sys.modules["model"] = pkg
     return _load_reference_module(f"model.{name}", f"model/{name}.py")
+
+
+def torchvision_resnet18():
+    """Plain-torch transliteration of torchvision v0.9.0 resnet18.
+
+    The reference downloads it via `torch.hub.load`
+    (`model/Unet_prestack.py:117`) — unavailable here (no torchvision, no
+    network), so the BasicBlock graph is written out; state_dict names
+    (`layerL.J.convN` / `downsample.0/1`) match torchvision exactly.
+    """
+    import torch
+    import torch.nn as tnn
+
+    class TorchBasicBlock(tnn.Module):
+        def __init__(self, inp, out, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, out, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(out)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(out, out, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(out)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class TorchResNet18(tnn.Module):
+        def __init__(self, num_classes=1000):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+
+            def stage(inp, out, stride):
+                ds = None
+                if stride != 1 or inp != out:
+                    ds = tnn.Sequential(
+                        tnn.Conv2d(inp, out, 1, stride, bias=False),
+                        tnn.BatchNorm2d(out))
+                return tnn.Sequential(TorchBasicBlock(inp, out, stride, ds),
+                                      TorchBasicBlock(out, out))
+
+            self.layer1 = stage(64, 64, 1)
+            self.layer2 = stage(64, 128, 2)
+            self.layer3 = stage(128, 256, 2)
+            self.layer4 = stage(256, 512, 2)
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = self.avgpool(x)
+            return self.fc(torch.flatten(x, 1))
+
+    return TorchResNet18()
+
+
+def reference_prestack_model():
+    """A runnable reference `Prestack_Model` (`model/Unet_prestack.py:113`).
+
+    Two environment shims, neither changing the defined computation:
+    - `torch.hub.load` is replaced by `torchvision_resnet18()` (no network).
+    - The reference patches `resnet.conv1 = nn.Conv1d(1, 64, (7,7), (2,2),
+      (3,3))` — a Conv1d module holding a 4-D (64,1,7,7) weight. Modern
+      torch refuses 4-D input to conv1d (reference bug: only ran on old
+      torch dispatch), so the module is swapped for a Conv2d carrying the
+      *same weight tensor* — the computation that weight shape defines,
+      and what our flax model implements.
+    """
+    import torch
+
+    up = reference_module("Unet_prestack")
+    orig_hub_load = torch.hub.load
+    torch.hub.load = lambda *a, **kw: torchvision_resnet18()
+    try:
+        model = up.Prestack_Model("resnet18")
+    finally:
+        torch.hub.load = orig_hub_load
+    resnet = model.prestack_model[1]
+    conv1 = torch.nn.Conv2d(1, 64, (7, 7), (2, 2), (3, 3), bias=False)
+    with torch.no_grad():
+        conv1.weight.copy_(resnet.conv1.weight)
+    resnet.conv1 = conv1
+    return model
