@@ -102,13 +102,141 @@ def test_cqt2010_close_to_cqt1992():
     assert corr > 0.95, corr
 
 
-def test_cfp_shapes():
-    f, n = make_frontend("CFP")
-    x = jnp.asarray(np.random.RandomState(0).randn(1, 64 * 512 - 1)
-                    .astype(np.float32) * 0.1)
-    z = f(x)
-    assert z.shape == (1, 62, n)
-    assert np.all(np.isfinite(np.asarray(z)))
+def _cfp_numpy_oracle(x, fr, fs, hop, window_size, fc, tc, g, num_per_oct):
+    """Float64 numpy transliteration of the reference
+    `Combined_Frequency_Periodicity` (`model/Spectrogram.py:2093-2233`).
+
+    The torch path is unrunnable on torch >= 1.8 (`torch.rfft` removed),
+    so the reference math is written out literally: torch.stft semantics
+    (center pad, constant mode, onesided=False, centered window pad),
+    the rfft-real nonlinearity cascade, and the log-freq/log-quefrency
+    triangular projection matrices."""
+    import scipy.signal
+
+    N = int(fs / float(fr))
+    f = fs * np.linspace(0, 0.5, round(N // 2), endpoint=True)
+    try:
+        h = scipy.signal.windows.blackmanharris(window_size)
+    except AttributeError:
+        h = scipy.signal.blackmanharris(window_size)
+    h = h.astype(np.float64)
+    tc_idx = round(fs * tc)
+    fc_idx = round(fc / fr)
+    high_freq_idx = int(round((1 / tc) / fr) + 1)
+    high_quef_idx = int(round(fs / fc) + 1)
+    f = f[:high_freq_idx]
+    q = np.arange(high_quef_idx) / float(fs)
+
+    # torch.stft(center=True, pad_mode='constant', onesided=False)
+    pad = N // 2
+    xp = np.pad(np.asarray(x, np.float64), [(0, 0), (pad, pad)])
+    hw = np.zeros(N)
+    lpad = (N - window_size) // 2
+    hw[lpad:lpad + window_size] = h
+    T = 1 + (xp.shape[1] - N) // hop
+    frames = np.stack([xp[:, k * hop:k * hop + N] for k in range(T)], axis=1)
+    tfr0 = np.abs(np.fft.fft(frames * hw, axis=-1)) / np.linalg.norm(h)
+    tfr0 = tfr0[:, 1:-1]  # reference drops first and last frames
+
+    def nonlinear(X, gv, cutoff):
+        cutoff = int(cutoff)
+        if gv != 0:
+            X = np.maximum(X, 0.0)
+            X[:, :, :cutoff] = 0
+            X[:, :, X.shape[2] - cutoff:] = 0
+            return X ** gv
+        X = np.log(X)
+        X[:, :, :cutoff] = 0
+        X[:, :, X.shape[2] - cutoff:] = 0
+        return X
+
+    spec = np.maximum(tfr0, 0.0) ** g[0]
+    ceps = np.zeros_like(spec)
+    for gc in range(1, len(g)):
+        if gc % 2 == 1:
+            ceps = np.real(np.fft.fft(spec, axis=-1)) / np.sqrt(N)
+            ceps = nonlinear(ceps, g[gc], tc_idx)
+        else:
+            spec = np.real(np.fft.fft(ceps, axis=-1)) / np.sqrt(N)
+            spec = nonlinear(spec, g[gc], fc_idx)
+
+    half = int(round(N / 2))
+    tfr = spec[:, :, :half][:, :, :high_freq_idx]
+    cep = ceps[:, :, :half][:, :, :high_quef_idx]
+
+    # create_logfreq_matrix (`model/Spectrogram.py:2193-2233`), literally
+    start_freq, stop_freq = fc, 1 / tc
+    nest = int(np.ceil(np.log2(stop_freq / start_freq)) * num_per_oct)
+    central_freq = []
+    for i in range(nest):
+        cen = start_freq * 2.0 ** (float(i) / num_per_oct)
+        if cen < stop_freq:
+            central_freq.append(cen)
+        else:
+            break
+    nest = len(central_freq)
+    freq_band = np.zeros((nest - 1, len(f)))
+    for i in range(1, nest - 1):
+        l = int(round(central_freq[i - 1] / fr))
+        r = int(round(central_freq[i + 1] / fr) + 1)
+        if l >= r - 1:
+            freq_band[i, l] = 1
+        else:
+            for j in range(l, r):
+                if central_freq[i - 1] < f[j] < central_freq[i]:
+                    freq_band[i, j] = ((f[j] - central_freq[i - 1])
+                                       / (central_freq[i]
+                                          - central_freq[i - 1]))
+                elif central_freq[i] < f[j] < central_freq[i + 1]:
+                    freq_band[i, j] = ((central_freq[i + 1] - f[j])
+                                       / (central_freq[i + 1]
+                                          - central_freq[i]))
+    with np.errstate(divide="ignore"):
+        finv = 1 / q
+    quef_band = np.zeros((nest - 1, len(finv)))
+    for i in range(1, nest - 1):
+        for j in range(int(round(fs / central_freq[i + 1])),
+                       int(round(fs / central_freq[i - 1]) + 1)):
+            if central_freq[i - 1] < finv[j] < central_freq[i]:
+                quef_band[i, j] = ((finv[j] - central_freq[i - 1])
+                                   / (central_freq[i] - central_freq[i - 1]))
+            elif central_freq[i] < finv[j] < central_freq[i + 1]:
+                quef_band[i, j] = ((central_freq[i + 1] - finv[j])
+                                   / (central_freq[i + 1] - central_freq[i]))
+
+    tfrLF = np.einsum("nf,btf->btn", freq_band, tfr)
+    tfrLQ = np.einsum("nq,btq->btn", quef_band, cep)
+    return tfrLF * tfrLQ
+
+
+@pytest.mark.parametrize("config", ["reference_default", "production"])
+def test_cfp_matches_numpy_oracle(config):
+    """Value-level CFP parity against the float64 numpy transliteration
+    of the reference math (supersedes the old shape-only test)."""
+    rng = np.random.RandomState(0)
+    if config == "production":
+        # the make_frontend('CFP') config (reference UNet CFP wiring,
+        # `model/self_attention_VAT.py:1031-1037`)
+        frontend, n = make_frontend("CFP")
+        kw = dict(fr=4, fs=16000, hop=512, window_size=2048, fc=30,
+                  tc=1 / 8000, g=[0.24, 0.6, 1], num_per_oct=48)
+        x = rng.randn(2, 8 * 512 - 1).astype(np.float32) * 0.1
+    else:
+        # the reference class defaults (`model/Spectrogram.py:2102-2104`)
+        from reconvat_tpu.ops.spectrogram import CFP
+        frontend = CFP()
+        n = frontend.n_bins
+        kw = dict(fr=2, fs=16000, hop=320, window_size=2049, fc=80,
+                  tc=1 / 1000, g=[0.24, 0.6, 1], num_per_oct=48)
+        x = rng.randn(1, 3200).astype(np.float32) * 0.1
+
+    want = _cfp_numpy_oracle(x, **kw)
+    got = np.asarray(frontend(jnp.asarray(x)))
+    assert got.shape == want.shape == (x.shape[0], want.shape[1], n)
+    assert np.all(np.isfinite(got))
+    # fp32 FFT + power cascades vs float64 oracle
+    np.testing.assert_allclose(got, want, rtol=2e-3,
+                               atol=2e-4 * float(np.abs(want).max()))
 
 
 def test_cqt1992_v1_matches_conv_formulation_oracle():
