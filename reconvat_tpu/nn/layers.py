@@ -130,9 +130,9 @@ class BiLSTM(nn.Module):
 
         # unroll > 1 trades code size for fewer while-loop trips (the
         # scan is latency-bound); numerics are identical at any value.
-        # RECONVAT_LSTM_UNROLL overrides for measurement; default 1
-        # until a chip A/B shows a win (tools/bench_families.py
-        # --families OnsetsAndFrames).
+        # Measured on v5e (bench_logs/r4_of_unroll{1,4,8}.log, O&F VAT
+        # step): unroll 1/4/8 land within ~2% (61.3/62.4/60.6 ms bf16),
+        # so the default stays 1; RECONVAT_LSTM_UNROLL overrides.
         unroll = int(os.environ.get("RECONVAT_LSTM_UNROLL", "1"))
         zero = jnp.zeros((2, B, H), x.dtype)
         _, ys = jax.lax.scan(step, (zero, zero), xw,
