@@ -72,8 +72,12 @@ def main():
             step = make_train_step(model, alpha=1.0, vat=True,
                                    use_unlabeled=True, donate=True)
             key = jax.random.PRNGKey(1)
+            t0 = time.perf_counter()
             state, losses = step(state, bl, bul, key)
             jax.block_until_ready(state.params)
+            print(f"  [{dtype or 'fp32'} attn={attn_impl}"
+                  f"{' +pallas_bwd' if pallas_bwd else ''}] compiled in "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
             for _ in range(2):
                 state, _ = step(state, bl, bul, key)
             jax.block_until_ready(state.params)
