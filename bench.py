@@ -66,7 +66,9 @@ def main():
     samples = frames * C.HOP_LENGTH  # 327680 => 20.48 s per item
     audio_seconds_per_batch = batch * samples / C.SAMPLE_RATE
 
-    attn_impl = os.environ.get("BENCH_ATTN", "pallas")
+    # 'auto' = XLA banded attention (measured winner under the folded
+    # layout, see nn/attention.resolve_attn_impl); BENCH_ATTN overrides
+    attn_impl = os.environ.get("BENCH_ATTN", "auto")
     # bf16 compute is 1.19x the fp32 forward at 6e-6 posteriogram diff
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = ReconVAT(reconstruction=True, attn_impl=attn_impl,

@@ -145,8 +145,8 @@ class ReconVAT:
     eps: float = 2.0
     kl_div: bool = False
     attn_block_size: int = 128
-    attn_impl: str = "auto"    # 'auto' = fused Pallas kernel on single-chip
-                               # TPU (no attention probs logged), else XLA
+    attn_impl: str = "auto"    # 'auto' = XLA banded attention (measured
+                               # winner, see nn/attention.resolve_attn_impl)
     conv_layout: str = "auto"  # 'auto' = frequency-folded U-Net on TPU
                                # (see nn/unet.py), plain NHWC elsewhere
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute

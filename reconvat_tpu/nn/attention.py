@@ -45,17 +45,17 @@ def _use_pallas_bwd() -> bool:
 
     Measured on the flagship semi-supervised VAT train step with
     device-resident inputs (tools/bench_train_step.py, B=8+8 x 640
-    frames, TPU v5 lite, best of 2x30 iters): every combination lands
-    within +-1.5% — bf16 230.6 / 229.2 / 233.3 ms for
-    xla / pallas-fwd / pallas-fwd+bwd, fp32 356.3 / 358.1 / 351.3 ms —
-    because the step is HBM-bandwidth-bound in the UNet convolutions
-    (tools/roofline.py: 1.65 TFLOP but 180 GB accessed/step, ~95% of
-    the v5e bandwidth roofline), not in attention. The default backward
-    therefore stays the XLA VJP:
-    equally fast, keeps probs available, and GSPMD-shardable. (A
-    per-step-H2D regime shows large Pallas "wins" — 1048 vs 639 ms bf16 —
-    but that measures transfer overlap through the dev relay, not the
-    kernels; see tools/bench_train_step.py --h2d.)
+    frames, TPU v5 lite, folded production layout,
+    bench_logs/r4_attn_matrix_folded.log): the Pallas backward is the
+    slowest combination at both precisions — bf16 67.3 / 67.8 / 70.1 ms
+    for xla / pallas-fwd / pallas-fwd+bwd, fp32 89.0 / 93.8 / 94.8 ms.
+    The default backward therefore stays the XLA VJP: faster, keeps
+    probs available, and GSPMD-shardable. (Under the retired nhwc
+    layout all combinations were within +-1.5% because the 3.2x-slower
+    step was HBM-bound in the unfolded convolutions; and a
+    per-step-H2D regime shows large spurious Pallas "wins" — 1048 vs
+    639 ms bf16 — that measure transfer overlap through the dev relay,
+    not the kernels; see tools/bench_train_step.py --h2d.)
     """
     import os
 
@@ -91,20 +91,27 @@ banded_attention_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 def resolve_attn_impl(impl: str) -> str:
     """Resolve the 'auto' attention implementation.
 
-    Production default is the fused Pallas forward on a single TPU chip:
-    measured +1.7% end-to-end inference (11,853 vs 11,654 audio-s/s); on
-    the HBM-bound train step every impl combination is within +-1.5%, so
-    the backward stays the XLA VJP (full measurements in
-    _use_pallas_bwd's docstring). Everywhere else 'auto' means the XLA
-    banded formulation: on CPU Pallas only interprets (slow), and under a
-    multi-chip GSPMD mesh the sequence-sharded halo exchange is handled by
-    XLA for the einsum path but would need an explicit shard_map wrapper
-    for the opaque Pallas call.
+    'auto' = the XLA banded-block einsum formulation everywhere — a
+    *measured* decision, re-taken under the frequency-folded U-Net layout
+    that is now the TPU production default (the r2 measurements that
+    briefly favored the Pallas forward were taken under the retired nhwc
+    layout, where a 3.2x-slower step buried the difference). On the
+    folded flagship VAT train step XLA wins or ties every Pallas
+    combination: bf16 67.3 vs 67.8 / 70.1 ms, fp32 89.0 vs 93.8 / 94.8
+    (xla vs pallas-fwd / pallas-fwd+bwd; bench_logs/
+    r4_attn_matrix_folded.log). On end-to-end inference the interleaved
+    same-process A/B is a tie within noise — 23.53 vs 23.59 ms/batch
+    median (tools/bench_attn_infer_ab.py; bench_logs/
+    r4_attn_infer_ab.log; earlier cross-process "wins" in either
+    direction were relay drift). XLA is also the impl that shards
+    under GSPMD meshes (the Pallas call is opaque to the sequence-halo
+    partitioner) and the only one that runs compiled on CPU. The Pallas
+    kernel pair stays available via attn_impl='pallas' (+
+    RECONVAT_PALLAS_BWD=1 for the backward) and is parity-tested
+    on-chip to <=6e-7.
     """
     if impl != "auto":
         return impl
-    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-        return "pallas"
     return "xla"
 
 
@@ -195,7 +202,7 @@ class MultiHeadAttention1D(nn.Module):
     block_size: int = 128
     return_probs: bool = True
     impl: str = "xla"          # 'xla' | 'pallas' (fused kernel, probs=None)
-                               # | 'auto' (pallas on single-chip TPU)
+                               # | 'auto' (= xla, see resolve_attn_impl)
     pallas_block: int = 256
     dtype: str | None = None   # computation dtype; params stay fp32
 

@@ -102,8 +102,8 @@ def test_backward_selection_flag(monkeypatch):
 
 
 def test_auto_impl_resolution():
-    """'auto' means Pallas only on a single-chip TPU backend; the test
-    suite runs on the virtual CPU mesh, so it must resolve to XLA here."""
+    """'auto' resolves to the XLA banded formulation everywhere (measured
+    winner under the folded layout, see resolve_attn_impl)."""
     from reconvat_tpu.nn.attention import resolve_attn_impl
 
     assert resolve_attn_impl("auto") == "xla"

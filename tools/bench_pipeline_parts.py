@@ -30,7 +30,7 @@ def main():
     samples = frames * C.HOP_LENGTH
     audio_s = batch * samples / C.SAMPLE_RATE
 
-    model = ReconVAT(reconstruction=True, attn_impl="pallas",
+    model = ReconVAT(reconstruction=True, attn_impl="auto",
                      compute_dtype="bfloat16")
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), seq_frames=frames))
