@@ -141,18 +141,26 @@ def main():
         decode.extract_notes_packed_batch(packed, rule="rule2")
 
     # regime 1: audio pre-staged on device (what a production host's DMA
-    # makes of the H2D cost — 21 MB over PCIe is ~2 ms). Software
-    # pipeline: device forward i+1 is in flight while the host fetches and
-    # decodes batch i.
+    # makes of the H2D cost — 21 MB over PCIe is ~2 ms). Depth-3 software
+    # pipeline with async D2H: up to 3 forwards are in flight while the
+    # host decodes, and each packed roll starts its device->host copy the
+    # moment it is enqueued — the device executes back to back instead of
+    # stalling on the host's per-batch fetch+dispatch round trip (measured
+    # 51 -> 18 ms/iter over the depth-1 sync loop on this relay,
+    # tools/bench_infer_pipeline.py; identical decoded output).
+    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", 3))
     staged = [jax.device_put(b) for b in host_batches]
     jax.block_until_ready(staged)
     t0 = time.perf_counter()
-    pending = forward(variables, staged[0])
-    for i in range(1, iters):
-        nxt = forward(variables, staged[i % len(staged)])
-        _decode_batch(np.asarray(pending))
-        pending = nxt
-    _decode_batch(np.asarray(pending))
+    pending = []
+    i = 0
+    while i < iters or pending:
+        while i < iters and len(pending) < depth:
+            buf = forward(variables, staged[i % len(staged)])
+            buf.copy_to_host_async()
+            pending.append(buf)
+            i += 1
+        _decode_batch(np.asarray(pending.pop(0)))
     resident = audio_seconds_per_batch * iters / (time.perf_counter() - t0)
 
     # regime 2: fresh int16 upload inside the timed loop, stepped
