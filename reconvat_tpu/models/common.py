@@ -171,7 +171,8 @@ def _frame_slice_audio(audio, f0: int, f1: int, t_pad: int):
 
 def transcribe_streaming(model, forward, variables, audio,
                          window_frames: int = 640, halo_frames: int = 128,
-                         windows_per_batch: int = 1, mesh_ctx=None):
+                         windows_per_batch: int = 1, mesh_ctx=None,
+                         pipeline_depth: int = 3):
     """Bounded-memory full-song transcription: haloed fixed-shape windows.
 
     The bucketed path (`transcribe_spec`) materializes the whole song's
@@ -202,6 +203,16 @@ def transcribe_streaming(model, forward, variables, audio,
     .MeshContext`), the stacked window axis is sharded over the mesh's
     batch axis — multi-chip serving of one long recording (G*B must
     divide by the axis size).
+
+    `pipeline_depth=D` keeps up to D window forwards in flight and starts
+    each result's device->host copy asynchronously as soon as it is
+    enqueued (single-device only — sharded outputs fetch on consume), so
+    the device executes back to back instead of stalling on the host's
+    per-group fetch + interior-scatter round trip — the same software
+    pipeline that took bench.py's serving loop from 51 to 18.3 ms/batch
+    (bench_logs/r4_infer_pipeline_ab.log). Peak memory grows by D-1
+    window outputs (rolls, not activations). Output is identical for any
+    depth.
 
     Reference context: `model/self_attention_VAT.py:1293-1314` runs full
     songs in one eager forward — unbounded memory; this is the TPU-native
@@ -251,11 +262,16 @@ def transcribe_streaming(model, forward, variables, audio,
             f0, f1 = max(0, w0 - E), min(t_true, w1 + E)
             chunk = spec_chunk(_frame_slice_audio(audio, f0, f1, W + 2 * E))
             keep = chunk[:, w0 - f0:w1 - f0]
-            # per batch element, like normalize_imagewise's per-image stats
-            mins.append(np.asarray(jnp.min(keep, axis=(1, 2))))
-            maxs.append(np.asarray(jnp.max(keep, axis=(1, 2))))
-        gmin = jnp.asarray(np.min(mins, axis=0)).reshape(B, 1, 1)
-        gmax = jnp.asarray(np.max(maxs, axis=0)).reshape(B, 1, 1)
+            # per batch element, like normalize_imagewise's per-image stats.
+            # Keep the per-chunk reductions on device and fetch once after
+            # the loop — a blocking np.asarray here would serialize every
+            # chunk dispatch on a host round trip.
+            mins.append(jnp.min(keep, axis=(1, 2)))
+            maxs.append(jnp.max(keep, axis=(1, 2)))
+        gmin = jnp.asarray(np.min([np.asarray(m) for m in mins],
+                                  axis=0)).reshape(B, 1, 1)
+        gmax = jnp.asarray(np.max([np.asarray(m) for m in maxs],
+                                  axis=0)).reshape(B, 1, 1)
 
     # pass 2: haloed windows, one compiled shape
     key = ("window", forward.__code__, imagewise)
@@ -290,8 +306,7 @@ def transcribe_streaming(model, forward, variables, audio,
         if imagewise:
             lo, hi = (jax.device_put(v, batch_sh) for v in (lo, hi))
 
-    out = None
-    for gi in range(0, len(starts), G):
+    def dispatch(gi):
         group = starts[gi:gi + G]
         # f0 = w0 - H keeps every window's stride-2 downsampling grids
         # anchored like the full-song run (W and H are multiples of the
@@ -306,6 +321,18 @@ def transcribe_streaming(model, forward, variables, audio,
         if mesh_ctx is not None:
             aa = jax.device_put(aa, batch_sh)
         rolls = window(variables, aa, lo, hi)
+        if mesh_ctx is None:  # sharded arrays fetch on consume instead
+            jax.tree_util.tree_map(lambda r: r.copy_to_host_async(), rolls)
+        return gi, group, rolls
+
+    out = None
+    depth = max(1, int(pipeline_depth))
+    pending, nxt = [], 0
+    while nxt < len(starts) or pending:
+        while nxt < len(starts) and len(pending) < depth:
+            pending.append(dispatch(nxt))
+            nxt += G
+        gi, group, rolls = pending.pop(0)
         rolls = jax.tree_util.tree_map(
             lambda r: np.asarray(r, np.float32).reshape(
                 (G, B) + r.shape[1:]), rolls)

@@ -668,7 +668,7 @@ class SemanticSegmentation:
 
     def transcribe_streaming(self, variables, audio, window_frames=640,
                              halo_frames=256, windows_per_batch=1,
-                             mesh_ctx=None):
+                             mesh_ctx=None, pipeline_depth=3):
         """Bounded-memory transcription (haloed fixed-shape windows) —
         see `models/common.transcribe_streaming`.
 
@@ -699,7 +699,8 @@ class SemanticSegmentation:
 
         rolls = transcribe_streaming(self, forward, variables, audio,
                                      window_frames, halo_frames,
-                                     windows_per_batch, mesh_ctx)
+                                     windows_per_batch, mesh_ctx,
+                                     pipeline_depth)
         if multi:  # back to the reference's (B, out_class, T, 88)
             import jax
 

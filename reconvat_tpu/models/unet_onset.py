@@ -212,18 +212,26 @@ class UNetOnset:
             r_norm_ul = jnp.mean(jnp.abs(rn))
 
         spec = self.make_spec(batch_l["audio"], t_true)
+        out, new_stats = self._apply(variables, spec, train)
 
         lds_l = {"frame": zero, "onset": zero}
         r_adv, r_norm_l = None, zero
         if vat:
             k_l, key = jax.random.split(key)
+            # Reuse the supervised forward's clean {frame, onset} prediction
+            # as the stop-grad VAT reference — this transcriber path is
+            # deterministic (combine_stack dropout=0.0), so it is exactly
+            # what vat_loss would recompute; XLA does not CSE the duplicate
+            # forward (see vat.vat_loss y_ref).
+            y_ref = ({"frame": out[1], "onset": out[2]}
+                     if self.reconstruction
+                     else {"frame": out[0], "onset": out[1]})
             lds_l, r_adv, rn = vat_loss(self._transcriber_fn(variables,
                                                              train),
-                                        spec, k_l, self.vat_cfg)
+                                        spec, k_l, self.vat_cfg,
+                                        y_ref=y_ref)
             r_adv = r_adv[..., 0]
             r_norm_l = jnp.mean(jnp.abs(rn))
-
-        out, new_stats = self._apply(variables, spec, train)
 
         if self.reconstruction:
             reconstruction, pianoroll, onset, pianoroll2, onset2, a = out
@@ -285,7 +293,7 @@ class UNetOnset:
 
     def transcribe_streaming(self, variables, audio, window_frames=640,
                              halo_frames=128, windows_per_batch=1,
-                             mesh_ctx=None):
+                             mesh_ctx=None, pipeline_depth=3):
         """Bounded-memory transcription (haloed fixed-shape windows) —
         see `models/common.transcribe_streaming`."""
         from .common import transcribe_streaming
@@ -300,7 +308,8 @@ class UNetOnset:
 
         return transcribe_streaming(self, forward, variables, audio,
                                     window_frames, halo_frames,
-                                    windows_per_batch, mesh_ctx)
+                                    windows_per_batch, mesh_ctx,
+                                    pipeline_depth)
 
     def load_reference_weights(self, path: str, variables):
         from ..train.torch_convert import load_torch_checkpoint, torch_to_flax

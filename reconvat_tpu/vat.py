@@ -15,6 +15,7 @@ costs exactly its extra forward/backward passes — no host round trips.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import jax
@@ -67,7 +68,8 @@ def _tree_objective(y_pred, y_ref, kl_div: bool):
 
 
 def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
-             cfg: VATConfig, init_d: jnp.ndarray | None = None):
+             cfg: VATConfig, init_d: jnp.ndarray | None = None,
+             y_ref=None):
     """Returns (vat_loss_tree, r_adv, d_normalized).
 
     apply_fn(x) -> prediction pytree (array, or dict for frame+onset
@@ -79,8 +81,16 @@ def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
     UNet_Onset variant's `{'frame':..., 'onset':...}` dict of losses
     (reference `model/UNet_onset.py:160-161`) falls out naturally; for
     single-output models it is a scalar.
+
+    y_ref: optional precomputed clean prediction tree (same structure as
+    apply_fn(x)'s output). When the caller has already run the identical
+    clean forward — e.g. the supervised pass of the same train step —
+    passing it here skips vat_loss's own reference forward; stop_gradient
+    is applied either way, so the result is bit-identical.
     """
-    y_ref = jax.tree_util.tree_map(jax.lax.stop_gradient, apply_fn(x))
+    if y_ref is None:
+        y_ref = apply_fn(x)
+    y_ref = jax.tree_util.tree_map(jax.lax.stop_gradient, y_ref)
 
     if init_d is None:
         d = jax.random.normal(key, x.shape, x.dtype)
@@ -109,6 +119,17 @@ def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
         d = jax.lax.stop_gradient(grad_d) * cfg.grad_rescue
 
     r_adv = cfg.eps * l2_normalize(d, cfg.binwise, cfg.norm_axis)
-    y_pred = apply_fn(perturbed(r_adv))
+    adv_fwd = lambda r: apply_fn(perturbed(r))  # noqa: E731
+    if os.environ.get("RECONVAT_VAT_REMAT") == "1":
+        # Rematerialize the adversarial forward in the outer backward:
+        # its activations are recomputed instead of stored, trading one
+        # extra forward of FLOPs for the stored-activation HBM traffic
+        # and peak memory. Measured on the flagship folded step
+        # (bench_logs/r4_step_remat.log): LOSES 65.3 -> 68.7 ms/step bf16
+        # and 84.6 -> 90.3 fp32 — the step is not storage-bound enough —
+        # so this stays an opt-in knob for memory-constrained configs
+        # (longer crops / larger batches), not a default.
+        adv_fwd = jax.checkpoint(adv_fwd)
+    y_pred = adv_fwd(r_adv)
     _, loss_tree = objective(y_pred)
     return loss_tree, r_adv, l2_normalize(d, cfg.binwise, cfg.norm_axis)

@@ -230,3 +230,27 @@ def test_streaming_mesh_sharded_windows_match():
                                    mesh_ctx=ctx)["frame"], np.float32)
     assert sharded.shape == base.shape
     np.testing.assert_allclose(sharded, base, atol=1e-5)
+
+
+def test_streaming_pipeline_depth_identical():
+    """pipeline_depth only changes host scheduling (how many window
+    forwards are in flight), never the math: depth 1 == depth 3 exactly,
+    including the windows_per_batch grouping."""
+    model = ReconVAT(reconstruction=True, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=256)
+    audio = _song(64.0, seed=7)  # 4 windows at W=512
+
+    d1 = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=512,
+                                   halo_frames=128,
+                                   pipeline_depth=1)["frame"], np.float32)
+    d3 = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=512,
+                                   halo_frames=128,
+                                   pipeline_depth=3)["frame"], np.float32)
+    np.testing.assert_array_equal(d1, d3)
+    g3 = np.asarray(
+        model.transcribe_streaming(variables, audio, window_frames=512,
+                                   halo_frames=128, windows_per_batch=2,
+                                   pipeline_depth=3)["frame"], np.float32)
+    np.testing.assert_allclose(g3, d1, atol=1e-5)

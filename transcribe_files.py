@@ -26,7 +26,7 @@ output_path = os.path.join(root, "Output")
 def transcribe2midi(data, model, variables, model_type, onset_threshold=0.5,
                     frame_threshold=0.5, save_path=None, rule="rule2",
                     bucket_frames=0, streaming=False,
-                    streaming_windows=1):
+                    streaming_windows=1, streaming_depth=3):
     """Reference `transcribe2midi` (`transcribe_files.py:12-40`)."""
     import inspect
 
@@ -44,7 +44,8 @@ def transcribe2midi(data, model, variables, model_type, onset_threshold=0.5,
             # streaming_windows>1 batches that many same-shape windows
             # per forward (fewer device round trips)
             pred = streamer(variables, audio,
-                            windows_per_batch=streaming_windows)
+                            windows_per_batch=streaming_windows,
+                            pipeline_depth=streaming_depth)
         elif bucket_frames and supports_bucket:
             pred = model.transcribe(variables, audio,
                                     bucket_frames=bucket_frames)
@@ -81,6 +82,8 @@ def config():
     # streaming_windows = windows stacked per forward when streaming
     streaming = False
     streaming_windows = 1
+    # window forwards kept in flight with async D2H while streaming
+    streaming_depth = 3
     # reference hardcodes Application/{Input,Output}
     # (`transcribe_files.py:47-48`); same defaults, overridable here
     input_path = os.path.join("Application", "Input")
@@ -89,7 +92,7 @@ def config():
 
 @ex.automain
 def main(device, model_type, weight_path, bucket_frames, streaming,
-         streaming_windows, input_path, output_path):
+         streaming_windows, streaming_depth, input_path, output_path):
     if device == "cpu":
         import jax
 
@@ -135,4 +138,5 @@ def main(device, model_type, weight_path, bucket_frames, streaming,
     print("Transcribing Music")
     transcribe2midi(application_dataset, model, variables, model_type,
                     save_path=output_path, bucket_frames=bucket_frames,
-                    streaming=streaming, streaming_windows=streaming_windows)
+                    streaming=streaming, streaming_windows=streaming_windows,
+                    streaming_depth=streaming_depth)
