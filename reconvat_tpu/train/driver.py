@@ -115,6 +115,9 @@ def run_training(model, cfg, datasets=None):
     logging_freq = cfg.get("logging_freq", 100)
     saving_freq = cfg.get("saving_freq", 200)
     vat_start = cfg.get("VAT_start", 0)
+    # steps in flight before loss readback (loop._StepDrain); 0 = the
+    # reference's fully synchronous per-step accounting
+    pipeline = cfg.get("pipeline", 1)
 
     from .profiler import StepTimer
 
@@ -132,11 +135,12 @@ def run_training(model, cfg, datasets=None):
         if full_epoch:
             state, losses = train_model(model, state, train_steps[False],
                                         ep, supervised_loader, sub,
-                                        timer=timer)
+                                        timer=timer, pipeline=pipeline)
         else:
             state, losses = train_VAT_model(
                 model, state, train_steps, iteration, ep, l_iter, ul_iter,
-                sub, vat=vat, vat_start=vat_start, timer=timer)
+                sub, vat=vat, vat_start=vat_start, timer=timer,
+                pipeline=pipeline)
         if cfg.get("profile_epoch") == ep:
             from . import profiler as _prof
 

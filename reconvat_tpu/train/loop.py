@@ -7,7 +7,7 @@ scaled by alpha/2, per-epoch scalar logging, periodic full evaluation.
 """
 from __future__ import annotations
 
-from collections import defaultdict
+from collections import defaultdict, deque
 
 import jax
 import numpy as np
@@ -18,12 +18,68 @@ from . import profiler
 from .state import total_loss_from_dict
 
 
+class _StepDrain:
+    """Deferred host readback of per-step losses.
+
+    JAX dispatch is asynchronous, but the reference-style loop reads every
+    step's loss back to the host (`float(...)`) immediately after dispatch,
+    which blocks until the step finishes — so host batch assembly and the
+    H2D copy of the next batch never overlap device compute. Instead we
+    queue each step's device-resident loss dict and only realize it after
+    `depth` further steps have been dispatched: while the host blocks on
+    step i's losses, step i+1 is already running and batch i+2 is being
+    collated/transferred. Totals are bit-identical at any depth — only the
+    moment of readback moves (the NaN guard and progress print trail by
+    `depth` steps). depth=0 restores the fully synchronous loop.
+    """
+
+    def __init__(self, depth, timer, check_nans, on_step=None):
+        self.depth = max(0, int(depth))
+        self.timer = timer
+        self.check_nans = check_nans
+        self.on_step = on_step
+        self.total_loss = 0.0
+        self._pending = deque()
+
+    def push(self, i, losses):
+        self._pending.append((i, losses))
+        while len(self._pending) > self.depth:
+            self._drain_one()
+
+    def flush(self):
+        while self._pending:
+            self._drain_one()
+        return self.total_loss
+
+    def _drain_one(self):
+        i, losses = self._pending.popleft()
+        self.total_loss += float(total_loss_from_dict(losses, 1.0))
+        if self.timer is not None:
+            self.timer.tick()
+        if self.check_nans:
+            profiler.nan_guard(losses, "loss")
+        if self.on_step is not None:
+            self.on_step(i, losses)
+
+
 def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
-                    key, vat=False, vat_start=0, verbose=True, timer=None):
-    """One "epoch" = `iteration` optimizer steps. Returns (state, losses)."""
-    total_loss = 0.0
+                    key, vat=False, vat_start=0, verbose=True, timer=None,
+                    pipeline=1):
+    """One "epoch" = `iteration` optimizer steps. Returns (state, losses).
+
+    `pipeline` steps stay in flight before loss readback (see `_StepDrain`);
+    0 restores the reference's fully synchronous per-step accounting.
+    """
     losses = {}
     check_nans = profiler.nan_checks_enabled()
+
+    def show(i, step_losses):
+        if verbose:
+            main = sum(float(v) for v in step_losses.values())
+            print(f"Train Epoch: {ep} [{i}/{iteration}] "
+                  f"Main Loss: {main:.6f}", end="\r")
+
+    drain = _StepDrain(pipeline, timer, check_nans, on_step=show)
     for i in range(iteration):
         key, sub = jax.random.split(key)
         batch_l = device_batch(next(l_iter))
@@ -33,15 +89,8 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
             else batch_l  # placeholder with matching shapes; unused
         state, losses = train_step[bool(use_vat)](state, batch_l, batch_ul,
                                                   sub)
-        if timer is not None:
-            timer.tick()
-        if check_nans:
-            profiler.nan_guard(losses, "loss")
-        total_loss += float(total_loss_from_dict(losses, 1.0))
-        if verbose:
-            main = sum(float(v) for v in losses.values())
-            print(f"Train Epoch: {ep} [{i}/{iteration}] "
-                  f"Main Loss: {main:.6f}", end="\r")
+        drain.push(i, losses)
+    total_loss = drain.flush()
     if verbose:
         print(" " * 100, end="\r")
         msg = f"Train Epoch: {ep}\tLoss: {total_loss / iteration:.6f}"
@@ -52,38 +101,52 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
 
 
 def train_model(model, state, train_step, ep, loader, key, verbose=True,
-                timer=None):
+                timer=None, pipeline=1):
     """Full-epoch supervised sweep over a loader (reference `train_model`,
     `model/helper_functions.py:542-568`). Returns (state, losses)."""
-    total_loss = 0.0
     losses = {}
     n = 0
+
+    def show(i, step_losses):
+        if verbose:
+            print(f"Train Epoch: {ep} [{i + 1}]", end="\r")
+
+    drain = _StepDrain(pipeline, timer, profiler.nan_checks_enabled(),
+                       on_step=show)
     for batch in loader:
         key, sub = jax.random.split(key)
         b = device_batch(batch)
         state, losses = train_step(state, b, b, sub)
-        if timer is not None:
-            timer.tick()
-        total_loss += float(total_loss_from_dict(losses, 1.0))
+        drain.push(n, losses)
         n += 1
-        if verbose:
-            print(f"Train Epoch: {ep} [{n}]", end="\r")
+    total_loss = drain.flush()
     if verbose:
         print(" " * 100, end="\r")
         print(f"Train Epoch: {ep}\tLoss: {total_loss / max(n, 1):.6f}")
     return state, losses
 
 
-def eval_model(model, state, eval_step, ep, loader, key, verbose=False):
+def eval_model(model, state, eval_step, ep, loader, key, verbose=False,
+               pipeline=1):
     """Reference `eval_model` (`model/helper_functions.py:667-687`)."""
     metrics = defaultdict(list)
-    for i, batch in enumerate(loader):
-        key, sub = jax.random.split(key)
-        losses = eval_step(state, device_batch(batch), sub)
+    pending = deque()
+    depth = max(0, int(pipeline))
+
+    def drain_one():
+        i, losses = pending.popleft()
         for k, v in losses.items():
             metrics[k].append(float(v))
         if verbose:
             print(f"Eval Epoch: {ep} [{i}]", end="\r")
+
+    for i, batch in enumerate(loader):
+        key, sub = jax.random.split(key)
+        pending.append((i, eval_step(state, device_batch(batch), sub)))
+        while len(pending) > depth:
+            drain_one()
+    while pending:
+        drain_one()
     return metrics
 
 
