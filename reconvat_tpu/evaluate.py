@@ -96,17 +96,34 @@ def make_bucketed_runner(model, variables, buckets=None):
 def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
                          frame_threshold=0.5, save_path=None,
                          reconstruction=True, onset=True, pseudo_onset=False,
-                         rule="rule2", verbose=False):
+                         rule="rule2", verbose=False, pipeline=1):
     """data: iterable of per-song label dicts (batch axis of 1 or absent).
 
     run_on_batch(batch) -> (predictions, losses, spec) — an eval-mode
     closure over the model and its variables.
+
+    `pipeline` songs' forwards stay in flight ahead of the host
+    decode+metrics work (JAX dispatch is async, so song i+1 runs on
+    device while the host extracts notes and matches intervals for song
+    i); 0 restores the reference's fully synchronous per-song order
+    (`model/evaluate_functions.py:20-127`). Results are identical at any
+    depth.
     """
     results = defaultdict(list)
+    from collections import deque
 
-    for label in data:
-        pred, losses, _ = run_on_batch(label)
+    pending = deque()
+    depth = max(0, int(pipeline))
 
+    def _run_all():
+        for label in data:
+            pending.append((label, run_on_batch(label)))
+            if len(pending) > depth:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
+
+    for label, (pred, losses, _) in _run_all():
         for key, loss in losses.items():
             results[key].append(float(loss))
 

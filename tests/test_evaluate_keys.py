@@ -78,3 +78,27 @@ def test_metric_keys_match_reference(tmp_path):
     files = os.listdir(tmp_path)
     assert any(f.endswith(".pred.mid") for f in files)
     assert any(f.endswith(".label.png") for f in files)
+
+def test_evaluate_pipeline_depth_identical():
+    """The lookahead pipeline must not change any metric value or order
+    (only the moment the host realizes each song's outputs moves)."""
+    rng = np.random.RandomState(1)
+
+    def runner(item):
+        r = np.random.RandomState(int(item["path"][4]))
+        frames = item["frame"].shape[0]
+        pred = {
+            "onset": r.rand(1, frames, 88).astype(np.float32),
+            "frame": r.rand(1, frames, 88).astype(np.float32),
+        }
+        return pred, {"loss/test_frame": np.float32(r.rand())}, None
+
+    songs = list(_songs(n=4, frames=30))
+    base = evaluate_wo_velocity(songs, runner, reconstruction=False,
+                                pipeline=0)
+    for depth in (1, 3, 10):
+        got = evaluate_wo_velocity(songs, runner, reconstruction=False,
+                                   pipeline=depth)
+        assert set(got) == set(base)
+        for k in base:
+            assert got[k] == base[k], (k, depth)
