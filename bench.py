@@ -61,7 +61,10 @@ def main():
     from reconvat_tpu import decode
     from reconvat_tpu.models.reconvat import ReconVAT
 
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    # B=128 saturates the v5e on the depth-3 pipeline: interleaved sweep
+    # measured 34.2k/36.6k/43.3k/43.2k audio-s/s at B=32/64/128/256
+    # (tools/bench_infer_batch.py, bench_logs/r4_infer_batch_sweep*.log)
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     frames = 640
     samples = frames * C.HOP_LENGTH  # 327680 => 20.48 s per item
     audio_seconds_per_batch = batch * samples / C.SAMPLE_RATE
@@ -170,12 +173,15 @@ def main():
     # ~22 MB/s after large executions (1+ GB/s in a fresh process). That
     # tunnel, not the chip or this framework, bounds this number at
     # ~0.03 MB per audio-second.
+    # bytes-per-iter scales with batch: keep this relay-bound regime's
+    # wall time flat by scaling the iteration count down at large B
+    iters2 = max(4, iters * 32 // batch)
     t0 = time.perf_counter()
-    for i in range(iters):
+    for i in range(iters2):
         buf = jax.device_put(host_batches[i % len(host_batches)])
         buf.block_until_ready()
         _decode_batch(np.asarray(forward(variables, buf)))
-    e2e = audio_seconds_per_batch * iters / (time.perf_counter() - t0)
+    e2e = audio_seconds_per_batch * iters2 / (time.perf_counter() - t0)
 
     result = {
         "metric": "audio-seconds transcribed/sec/chip (ReconVAT "
