@@ -7,6 +7,7 @@ scaled by alpha/2, per-epoch scalar logging, periodic full evaluation.
 """
 from __future__ import annotations
 
+import functools
 from collections import defaultdict, deque
 
 import jax
@@ -15,7 +16,48 @@ import numpy as np
 from ..data.loader import device_batch
 from ..evaluate import evaluate_wo_velocity
 from . import profiler
-from .state import total_loss_from_dict
+
+
+@functools.partial(jax.jit, static_argnames="n")
+def _subkey_scan(key, n):
+    """The loop's n iterated `key, sub = jax.random.split(key)` calls as
+    ONE compiled scan — bit-identical subkey sequence, but a single device
+    dispatch per epoch instead of one per step (each eager split is a tiny
+    device op whose dispatch latency stalls the host's dispatch path)."""
+    def body(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    _, subs = jax.lax.scan(body, key, None, length=n)
+    return subs
+
+
+def _epoch_subkeys(key, n):
+    try:
+        return np.asarray(_subkey_scan(key, n))
+    except TypeError:  # pragma: no cover — typed PRNG keys can't cross
+        subs = []                          # to numpy; stay eager
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            subs.append(sub)
+        return subs
+
+
+def _host_total(host_losses):
+    """total_loss_from_dict(…, 1.0) on already-fetched host scalars."""
+    if "loss/total" in host_losses:
+        return float(host_losses["loss/total"])
+    total = 0.0
+    for k, v in host_losses.items():
+        total += float(v) / 2.0 if k.startswith("loss/train_LDS") \
+            else float(v)
+    return total
+
+
+def strip_total(losses):
+    """Drop the step's device-computed accounting scalar before logging so
+    TensorBoard carries exactly the reference's scalar keys."""
+    return {k: v for k, v in losses.items() if k != "loss/total"}
 
 
 class _StepDrain:
@@ -53,13 +95,18 @@ class _StepDrain:
 
     def _drain_one(self):
         i, losses = self._pending.popleft()
-        self.total_loss += float(total_loss_from_dict(losses, 1.0))
+        # ONE gather to host; everything downstream (total, NaN guard,
+        # progress print) is plain float arithmetic — the old path built
+        # ~6 eager device ops per step (total_loss_from_dict) plus one
+        # float() per printed loss, each a dispatch-latency stall
+        host = jax.device_get(losses)
+        self.total_loss += _host_total(host)
         if self.timer is not None:
             self.timer.tick()
         if self.check_nans:
-            profiler.nan_guard(losses, "loss")
+            profiler.nan_guard(host, "loss")
         if self.on_step is not None:
-            self.on_step(i, losses)
+            self.on_step(i, host)
 
 
 def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
@@ -75,20 +122,21 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
 
     def show(i, step_losses):
         if verbose:
-            main = sum(float(v) for v in step_losses.values())
+            main = sum(float(v) for k, v in step_losses.items()
+                       if k != "loss/total")
             print(f"Train Epoch: {ep} [{i}/{iteration}] "
                   f"Main Loss: {main:.6f}", end="\r")
 
     drain = _StepDrain(pipeline, timer, check_nans, on_step=show)
+    subs = _epoch_subkeys(key, iteration)
     for i in range(iteration):
-        key, sub = jax.random.split(key)
         batch_l = device_batch(next(l_iter))
         use_vat = vat and ep >= vat_start
         batch_ul = device_batch(next(ul_iter)) \
             if (ul_iter is not None and use_vat) \
             else batch_l  # placeholder with matching shapes; unused
         state, losses = train_step[bool(use_vat)](state, batch_l, batch_ul,
-                                                  sub)
+                                                  subs[i])
         drain.push(i, losses)
     total_loss = drain.flush()
     if verbose:
@@ -97,7 +145,7 @@ def train_VAT_model(model, state, train_step, iteration, ep, l_iter, ul_iter,
         if timer is not None and timer.step_time:
             msg += f"\t({timer.summary()})"
         print(msg)
-    return state, losses
+    return state, strip_total(losses)
 
 
 def train_model(model, state, train_step, ep, loader, key, verbose=True,
@@ -113,8 +161,16 @@ def train_model(model, state, train_step, ep, loader, key, verbose=True,
 
     drain = _StepDrain(pipeline, timer, profiler.nan_checks_enabled(),
                        on_step=show)
+    subs = None
+    try:  # sized loader: pre-split every step's subkey in one dispatch
+        subs = _epoch_subkeys(key, len(loader))
+    except TypeError:
+        pass
     for batch in loader:
-        key, sub = jax.random.split(key)
+        if subs is not None and n < len(subs):
+            sub = subs[n]
+        else:
+            key, sub = jax.random.split(key)
         b = device_batch(batch)
         state, losses = train_step(state, b, b, sub)
         drain.push(n, losses)
@@ -123,7 +179,7 @@ def train_model(model, state, train_step, ep, loader, key, verbose=True,
     if verbose:
         print(" " * 100, end="\r")
         print(f"Train Epoch: {ep}\tLoss: {total_loss / max(n, 1):.6f}")
-    return state, losses
+    return state, strip_total(losses)
 
 
 def eval_model(model, state, eval_step, ep, loader, key, verbose=False,
@@ -135,13 +191,21 @@ def eval_model(model, state, eval_step, ep, loader, key, verbose=False,
 
     def drain_one():
         i, losses = pending.popleft()
-        for k, v in losses.items():
+        for k, v in jax.device_get(losses).items():
             metrics[k].append(float(v))
         if verbose:
             print(f"Eval Epoch: {ep} [{i}]", end="\r")
 
+    subs = None
+    try:
+        subs = _epoch_subkeys(key, len(loader))
+    except TypeError:
+        pass
     for i, batch in enumerate(loader):
-        key, sub = jax.random.split(key)
+        if subs is not None and i < len(subs):
+            sub = subs[i]
+        else:
+            key, sub = jax.random.split(key)
         pending.append((i, eval_step(state, device_batch(batch), sub)))
         while len(pending) > depth:
             drain_one()

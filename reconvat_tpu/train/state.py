@@ -114,6 +114,12 @@ def make_train_step(model, alpha: float, vat: bool, use_unlabeled: bool,
         state = state.apply_gradients(grads)
         if new_stats is not None:
             state = state.replace(batch_stats=new_stats)
+        # the loop's per-step accounting scalar, computed inside the
+        # compiled step (same fp32 op sequence the loop used to build
+        # eagerly — bit-identical) so the host reads ONE scalar per step
+        # instead of dispatching ~6 tiny device ops; stripped before
+        # TensorBoard logging (loop.py) to keep the reference's scalar keys
+        losses = {**losses, "loss/total": total_loss_from_dict(losses, 1.0)}
         return state, losses
 
     return step
