@@ -101,3 +101,33 @@ def test_step_drain_depth_semantics():
     assert realized == [0]  # oldest realized once depth exceeded
     assert drain.flush() == pytest.approx(6.0)
     assert realized == [0, 1, 2]
+
+def test_epoch_subkeys_bit_identical_to_iterated_splits():
+    """The one-dispatch scan must reproduce the reference loop's iterated
+    `key, sub = jax.random.split(key)` sequence exactly."""
+    from reconvat_tpu.train.loop import _epoch_subkeys
+
+    key = jax.random.PRNGKey(123)
+    subs = _epoch_subkeys(key, 6)
+    k = jax.random.PRNGKey(123)
+    for i in range(6):
+        k, sub = jax.random.split(k)
+        assert np.array_equal(np.asarray(sub), np.asarray(subs[i])), i
+
+
+def test_loop_strips_device_total_from_returned_losses():
+    """make_train_step adds a device-computed 'loss/total' accounting
+    scalar; the loops must strip it so TensorBoard logging keeps exactly
+    the reference's scalar keys."""
+    def step(state, batch_l, batch_ul, key):
+        return state + 1, {"loss/train_frame": jnp.float32(1.0),
+                           "loss/total": jnp.float32(1.0)}
+
+    _, losses = train_VAT_model(None, jnp.int32(0), {False: step, True: step},
+                                3, ep=1, l_iter=_fake_batches(), ul_iter=None,
+                                key=jax.random.PRNGKey(0), verbose=False)
+    assert "loss/total" not in losses and "loss/train_frame" in losses
+    loader = [{"audio": np.zeros((1, 8), np.float32)} for _ in range(2)]
+    _, losses = train_model(None, jnp.int32(0), step, 1, loader,
+                            jax.random.PRNGKey(0), verbose=False)
+    assert "loss/total" not in losses
