@@ -96,7 +96,7 @@ def make_bucketed_runner(model, variables, buckets=None):
 def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
                          frame_threshold=0.5, save_path=None,
                          reconstruction=True, onset=True, pseudo_onset=False,
-                         rule="rule2", verbose=False, pipeline=1):
+                         rule="rule2", verbose=False, pipeline=2):
     """data: iterable of per-song label dicts (batch axis of 1 or absent).
 
     run_on_batch(batch) -> (predictions, losses, spec) — an eval-mode
@@ -107,7 +107,8 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
     device while the host extracts notes and matches intervals for song
     i); 0 restores the reference's fully synchronous per-song order
     (`model/evaluate_functions.py:20-127`). Results are identical at any
-    depth.
+    depth (tests/test_evaluate_keys.py); depth 2 measured best on chip
+    (532.8/520.1/483.4 ms/song at 0/1/2, bench_logs/r4_eval_pipeline.log).
     """
     results = defaultdict(list)
     from collections import deque
