@@ -81,13 +81,14 @@ def config():
     device = "tpu"
     refresh = False
     rule = "rule2"
+    batch_songs = 1  # >1: vmapped same-bucket song groups (faster, exact)
 
     logdir = os.path.join(output_folder, str(weight_file))
 
 
 @ex.automain
 def train(spec, model_type, reconstruction, weight_file, mode, inference,
-          onset, device, refresh, rule, logdir, **_ignored):
+          onset, device, refresh, rule, batch_songs, logdir, **_ignored):
     if device == "cpu":
         import jax
 
@@ -117,7 +118,7 @@ def train(spec, model_type, reconstruction, weight_file, mode, inference,
 
     metrics = evaluate_wo_velocity(
         validation_dataset, runner, reconstruction=reconstruction,
-        onset=inference, rule=rule,
+        onset=inference, rule=rule, batch_songs=batch_songs,
         save_path=os.path.join(logdir, f"MIDI_results-{inference_state}"))
 
     for key, values in metrics.items():

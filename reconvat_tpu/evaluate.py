@@ -89,14 +89,62 @@ def make_bucketed_runner(model, variables, buckets=None):
                  for k, v in preds.items()}
         return preds, losses, spec[:, :t_true]
 
+    def bucket_of(item):
+        return next_bucket(
+            frames_in(np.asarray(item["audio"]).shape[-1]) + 2, buckets)
+
+    def run_group(items, group_size):
+        """One vmapped forward over `group_size` same-bucket songs.
+
+        Each song keeps its own `t_true` masking (the vmap axis carries
+        it), so per-song losses and normalization statistics are computed
+        exactly as in the single-song path. Groups shorter than
+        `group_size` are padded by repeating the last song (outputs
+        dropped) so each bucket compiles once per group size.
+        Returns a list of per-song (preds, losses, spec) pairs — a
+        deferred callable per song so the host conversion stays lazy.
+        """
+        if not supports_bucketing or len(items) == 1:
+            return [runner(items[0])] if len(items) == 1 else []
+        t_pads = {bucket_of(it) for it in items}
+        assert len(t_pads) == 1, "run_group needs same-bucket songs"
+        t_pad = t_pads.pop()
+        n = len(items)
+        padded = list(items) + [items[-1]] * (group_size - n)
+        pairs = [pad_song_batch(it, t_pad) for it in padded]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[b for b, _ in pairs])
+        t_trues = np.asarray([t for _, t in pairs], np.int32)
+        key = ("group", t_pad, group_size)
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = jax.jit(
+                jax.vmap(eval_fn, in_axes=(None, 0, 0)))
+        preds, losses, spec = fn(variables, stacked, jnp.asarray(t_trues))
+        out = []
+        for g in range(n):
+            t_true = int(t_trues[g])
+            p = {k: (v[g][:, :t_true] if v is not None
+                     and hasattr(v, "ndim") and v.ndim >= 3
+                     and v.shape[2] == t_pad else
+                     (v[g] if v is not None and hasattr(v, "ndim")
+                      and v.ndim >= 1 and v.shape[0] == group_size else v))
+                 for k, v in preds.items()}
+            l = {k: v[g] for k, v in losses.items()}
+            out.append((p, l, spec[g][:, :t_true]))
+        return out
+
     runner.cache = cache
+    runner.bucket_of = bucket_of
+    runner.run_group = run_group
     return runner
 
 
 def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
                          frame_threshold=0.5, save_path=None,
                          reconstruction=True, onset=True, pseudo_onset=False,
-                         rule="rule2", verbose=False, pipeline=2):
+                         rule="rule2", verbose=False, pipeline=2,
+                         batch_songs=1):
     """data: iterable of per-song label dicts (batch axis of 1 or absent).
 
     run_on_batch(batch) -> (predictions, losses, spec) — an eval-mode
@@ -107,22 +155,59 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
     device while the host extracts notes and matches intervals for song
     i); 0 restores the reference's fully synchronous per-song order
     (`model/evaluate_functions.py:20-127`). Results are identical at any
-    depth (tests/test_evaluate_keys.py); depth 2 measured best on chip
-    (532.8/520.1/483.4 ms/song at 0/1/2, bench_logs/r4_eval_pipeline.log).
+    depth (tests/test_evaluate_keys.py).
+
+    `batch_songs=G` (needs a `make_bucketed_runner` runner) groups
+    same-bucket songs G at a time into one vmapped forward — per-song
+    `t_true` masking and losses stay exact, so metrics match the
+    per-song path (tests/test_bucketed_eval.py) while the chip runs G
+    songs' worth of work per dispatch. Results are still reported in
+    corpus order. Default 1 = the reference's one-song-at-a-time order.
     """
     results = defaultdict(list)
     from collections import deque
 
     pending = deque()
     depth = max(0, int(pipeline))
+    group_size = max(1, int(batch_songs))
 
-    def _run_all():
-        for label in data:
-            pending.append((label, run_on_batch(label)))
-            if len(pending) > depth:
+    if group_size > 1 and hasattr(run_on_batch, "run_group"):
+        data = list(data)
+        by_bucket = defaultdict(list)
+        for i, item in enumerate(data):
+            by_bucket[run_on_batch.bucket_of(item)].append(i)
+        groups = sorted(
+            (idxs[j:j + group_size]
+             for idxs in by_bucket.values()
+             for j in range(0, len(idxs), group_size)),
+            key=lambda g: g[0])
+        song_group = {i: gid for gid, g in enumerate(groups) for i in g}
+        results_by_idx = {}
+        state = {"dispatched": 0}
+
+        def _ensure(gid):
+            # keep `depth` groups of forwards in flight past the one
+            # the host is consuming
+            while state["dispatched"] <= min(gid + depth, len(groups) - 1):
+                g = groups[state["dispatched"]]
+                outs = run_on_batch.run_group([data[i] for i in g],
+                                              group_size)
+                for i, res in zip(g, outs):
+                    results_by_idx[i] = res
+                state["dispatched"] += 1
+
+        def _run_all():
+            for i, item in enumerate(data):
+                _ensure(song_group[i])
+                yield item, results_by_idx.pop(i)
+    else:
+        def _run_all():
+            for label in data:
+                pending.append((label, run_on_batch(label)))
+                if len(pending) > depth:
+                    yield pending.popleft()
+            while pending:
                 yield pending.popleft()
-        while pending:
-            yield pending.popleft()
 
     for label, (pred, losses, _) in _run_all():
         for key, loss in losses.items():
@@ -155,23 +240,18 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
                 pred["frame"], pred["frame"], onset_threshold,
                 frame_threshold, rule=rule)
 
-        t_ref, f_ref = decode.notes_to_frames(p_ref, i_ref,
-                                              label_frame.shape)
-        t_est, f_est = decode.notes_to_frames(p_est, i_est,
-                                              pred["frame"].shape)
+        # binary rolls feed metrics.evaluate_multipitch_rolls directly —
+        # identical scores to the reference's per-frame Hz-list path
+        # (tests/test_metrics.py::test_multipitch_rolls_equals_lists)
+        # without the frame-by-frame list/Hz round-trip.
+        roll_ref = decode.notes_to_roll(p_ref, i_ref, label_frame.shape)
+        roll_est = decode.notes_to_roll(p_est, i_est, pred["frame"].shape)
 
         scaling = C.HOP_LENGTH / C.SAMPLE_RATE
         i_ref = (np.asarray(i_ref) * scaling).reshape(-1, 2)
-        p_ref = np.array([midi_to_hz(C.MIN_MIDI + m) for m in p_ref])
+        p_ref = midi_to_hz(C.MIN_MIDI + np.asarray(p_ref, dtype=float))
         i_est = (np.asarray(i_est) * scaling).reshape(-1, 2)
-        p_est = np.array([midi_to_hz(C.MIN_MIDI + m) for m in p_est])
-
-        t_ref = t_ref.astype(np.float64) * scaling
-        f_ref = [np.array([midi_to_hz(C.MIN_MIDI + m) for m in fs])
-                 for fs in f_ref]
-        t_est = t_est.astype(np.float64) * scaling
-        f_est = [np.array([midi_to_hz(C.MIN_MIDI + m) for m in fs])
-                 for fs in f_est]
+        p_est = midi_to_hz(C.MIN_MIDI + np.asarray(p_est, dtype=float))
 
         p, r, f, o = metrics.precision_recall_f1_overlap(
             i_ref, p_ref, i_est, p_est, offset_ratio=None)
@@ -187,8 +267,8 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
         results["metric/note-with-offsets/f1"].append(f)
         results["metric/note-with-offsets/overlap"].append(o)
 
-        frame_metrics = metrics.evaluate_multipitch(t_ref, f_ref,
-                                                    t_est, f_est)
+        frame_metrics = metrics.evaluate_multipitch_rolls(
+            roll_ref, roll_est, C.MIN_MIDI)
         results["metric/frame/f1"].append(
             _hmean2(frame_metrics["Precision"] + eps,
                     frame_metrics["Recall"] + eps) - eps)
@@ -201,13 +281,10 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
             p_est2, i_est2 = decode.extract_notes_wo_velocity(
                 pred["onset2"], pred["frame2"], onset_threshold,
                 frame_threshold)
-            t_est2, f_est2 = decode.notes_to_frames(p_est2, i_est2,
-                                                    pred["frame2"].shape)
+            roll_est2 = decode.notes_to_roll(p_est2, i_est2,
+                                             pred["frame2"].shape)
             i_est2 = (np.asarray(i_est2) * scaling).reshape(-1, 2)
-            p_est2 = np.array([midi_to_hz(C.MIN_MIDI + m) for m in p_est2])
-            t_est2 = t_est2.astype(np.float64) * scaling
-            f_est2 = [np.array([midi_to_hz(C.MIN_MIDI + m) for m in fs])
-                      for fs in f_est2]
+            p_est2 = midi_to_hz(C.MIN_MIDI + np.asarray(p_est2, dtype=float))
 
             p2, r2, f2, o2 = metrics.precision_recall_f1_overlap(
                 i_ref, p_ref, i_est2, p_est2, offset_ratio=None)
@@ -216,8 +293,8 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
             results["metric/note/f1_2"].append(f2)
             results["metric/note/overlap_2"].append(o2)
 
-            frame_metrics2 = metrics.evaluate_multipitch(t_ref, f_ref,
-                                                         t_est2, f_est2)
+            frame_metrics2 = metrics.evaluate_multipitch_rolls(
+                roll_ref, roll_est2, C.MIN_MIDI)
             frame_metrics["Precision_2"] = frame_metrics2["Precision"]
             frame_metrics["Recall_2"] = frame_metrics2["Recall"]
             frame_metrics["accuracy_2"] = frame_metrics2["Accuracy"]

@@ -50,7 +50,15 @@ def _max_bipartite_matching(pairs, n_ref, n_est):
 def match_notes(ref_intervals, ref_pitches, est_intervals, est_pitches,
                 onset_tolerance=0.05, pitch_tolerance=50.0,
                 offset_ratio=0.2, offset_min_tolerance=0.05):
-    """Admissible-pair matching following mir_eval.transcription."""
+    """Admissible-pair matching following mir_eval.transcription.
+
+    Candidate pairs come from a sorted-onset window search (O((R+E) log E
+    + candidates) instead of the dense R x E admissibility matrix); every
+    candidate is then re-checked with the exact elementwise tolerance
+    predicates, and the surviving pairs are fed to the matcher in the
+    same row-major (ref, est) order the dense argwhere produced — so the
+    matching (not just its cardinality) is unchanged.
+    """
     ref_intervals = np.atleast_2d(np.asarray(ref_intervals, dtype=float))
     est_intervals = np.atleast_2d(np.asarray(est_intervals, dtype=float))
     ref_pitches = np.asarray(ref_pitches, dtype=float)
@@ -59,21 +67,43 @@ def match_notes(ref_intervals, ref_pitches, est_intervals, est_pitches,
     if n_ref == 0 or n_est == 0:
         return []
 
-    onset_ok = (np.abs(ref_intervals[:, :1] - est_intervals[:, 0][None])
-                <= onset_tolerance)
-    cents = np.abs(1200.0 * np.log2(est_pitches[None, :]
-                                    / ref_pitches[:, None]))
-    pitch_ok = cents <= pitch_tolerance
-    ok = onset_ok & pitch_ok
-    if offset_ratio is not None:
-        durations = ref_intervals[:, 1] - ref_intervals[:, 0]
-        tol = np.maximum(offset_min_tolerance, offset_ratio * durations)
-        offset_ok = (np.abs(ref_intervals[:, 1:2] - est_intervals[:, 1][None])
-                     <= tol[:, None])
-        ok = ok & offset_ok
+    # window slightly widened so ulp-level differences between
+    # "est <= ref +- tol" and the exact "|ref - est| <= tol" can never
+    # drop a boundary candidate; the exact predicate below decides.
+    slack = onset_tolerance * 1e-9 + 1e-12
+    est_on = est_intervals[:, 0]
+    order = np.argsort(est_on, kind="stable")
+    est_on_sorted = est_on[order]
+    lo = np.searchsorted(est_on_sorted,
+                         ref_intervals[:, 0] - (onset_tolerance + slack),
+                         side="left")
+    hi = np.searchsorted(est_on_sorted,
+                         ref_intervals[:, 0] + (onset_tolerance + slack),
+                         side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return []
+    r_idx = np.repeat(np.arange(n_ref), counts)
+    within = (np.arange(total)
+              - np.repeat(np.cumsum(counts) - counts, counts))
+    e_idx = order[np.repeat(lo, counts) + within]
 
-    pairs = np.argwhere(ok)
-    return _max_bipartite_matching([tuple(p) for p in pairs], n_ref, n_est)
+    ok = (np.abs(ref_intervals[r_idx, 0] - est_intervals[e_idx, 0])
+          <= onset_tolerance)
+    cents = np.abs(1200.0 * np.log2(est_pitches[e_idx]
+                                    / ref_pitches[r_idx]))
+    ok &= cents <= pitch_tolerance
+    if offset_ratio is not None:
+        durations = ref_intervals[r_idx, 1] - ref_intervals[r_idx, 0]
+        tol = np.maximum(offset_min_tolerance, offset_ratio * durations)
+        ok &= (np.abs(ref_intervals[r_idx, 1] - est_intervals[e_idx, 1])
+               <= tol)
+
+    r_idx, e_idx = r_idx[ok], e_idx[ok]
+    perm = np.lexsort((e_idx, r_idx))  # argwhere's row-major order
+    pairs = list(zip(r_idx[perm].tolist(), e_idx[perm].tolist()))
+    return _max_bipartite_matching(pairs, n_ref, n_est)
 
 
 def precision_recall_f1_overlap(ref_intervals, ref_pitches, est_intervals,
@@ -130,12 +160,91 @@ def _frame_matching_count(ref_midi, est_midi, window=0.5):
     return len(_max_bipartite_matching(pairs, len(ref_midi), len(est_midi)))
 
 
+def _int_count_matrix(midi_list, tol=1e-6):
+    """(T, 128) per-frame pitch-count matrix when every value is within
+    `tol` of an integer in [0, 127]; None otherwise (caller falls back to
+    the general bipartite path)."""
+    lengths = np.array([len(m) for m in midi_list], dtype=np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros((len(midi_list), 128), dtype=np.int64)
+    flat = np.concatenate([np.asarray(m, dtype=float).ravel()
+                           for m in midi_list if len(m)])
+    rounded = np.rint(flat)
+    if (np.abs(flat - rounded).max() >= tol
+            or rounded.min() < 0 or rounded.max() > 127):
+        return None
+    frame_idx = np.repeat(np.arange(len(midi_list)), lengths)
+    counts = np.zeros((len(midi_list), 128), dtype=np.int64)
+    np.add.at(counts, (frame_idx, rounded.astype(np.int64)), 1)
+    return counts
+
+
+def _counts_to_scores(ref_counts, est_counts):
+    """Poliner-Ellis scores from per-frame pitch-count matrices. Exact:
+    when admissible edges only connect equal bins, the bipartite graph is
+    a disjoint union of complete blocks, so the (unique) maximum-matching
+    cardinality per frame is sum_bin min(ref_count, est_count)."""
+    n_ref_f = ref_counts.sum(axis=1)
+    n_est_f = est_counts.sum(axis=1)
+    tp_f = np.minimum(ref_counts, est_counts).sum(axis=1)
+    n_ref_total = int(n_ref_f.sum())
+    n_est_total = int(n_est_f.sum())
+    tp_total = int(tp_f.sum())
+    e_sub = int((np.minimum(n_ref_f, n_est_f) - tp_f).sum())
+    e_miss = int(np.maximum(0, n_ref_f - n_est_f).sum())
+    e_fa = int(np.maximum(0, n_est_f - n_ref_f).sum())
+    e_tot = int((np.maximum(n_ref_f, n_est_f) - tp_f).sum())
+    precision = tp_total / n_est_total if n_est_total else 0.0
+    recall = tp_total / n_ref_total if n_ref_total else 0.0
+    fp = n_est_total - tp_total
+    fn = n_ref_total - tp_total
+    accuracy = (tp_total / (tp_total + fp + fn)
+                if tp_total + fp + fn else 0.0)
+    denom = max(n_ref_total, 1)
+    return dict(precision=precision, recall=recall, accuracy=accuracy,
+                e_sub=e_sub / denom, e_miss=e_miss / denom,
+                e_fa=e_fa / denom, e_tot=e_tot / denom)
+
+
+def _chroma_fold(counts):
+    """(T, 128) pitch counts -> (T, 12) chroma counts."""
+    return counts[:, :120].reshape(counts.shape[0], 10, 12).sum(axis=1) \
+        + np.pad(counts[:, 120:], ((0, 0), (0, 4)))
+
+
+def _pack_result(plain, chroma):
+    return {
+        "Precision": plain["precision"],
+        "Recall": plain["recall"],
+        "Accuracy": plain["accuracy"],
+        "Substitution Error": plain["e_sub"],
+        "Miss Error": plain["e_miss"],
+        "False Alarm Error": plain["e_fa"],
+        "Total Error": plain["e_tot"],
+        "Chroma Precision": chroma["precision"],
+        "Chroma Recall": chroma["recall"],
+        "Chroma Accuracy": chroma["accuracy"],
+        "Chroma Substitution Error": chroma["e_sub"],
+        "Chroma Miss Error": chroma["e_miss"],
+        "Chroma False Alarm Error": chroma["e_fa"],
+        "Chroma Total Error": chroma["e_tot"],
+    }
+
+
 def evaluate_multipitch(ref_time, ref_freqs, est_time, est_freqs,
                         window=0.5):
     """mir_eval.multipitch.evaluate equivalent (shared time base).
 
     Returns the same key set: Precision/Recall/Accuracy, Poliner-Ellis
     error scores, and Chroma variants.
+
+    Fast path: when every MIDI value is integer-valued (the transcription
+    pipeline always is — pianoroll bins -> Hz -> back) and the tolerance
+    window sits strictly between the rounding error and one semitone,
+    per-frame maximum matching reduces to histogram intersection and the
+    whole song is scored with a handful of vectorized ops. Non-integer
+    pitches fall back to the general per-frame bipartite matcher.
     """
     ref_time = np.asarray(ref_time)
     est_time = np.asarray(est_time)
@@ -153,12 +262,23 @@ def evaluate_multipitch(ref_time, ref_freqs, est_time, est_freqs,
     ref_midi = _freqs_to_midi(ref_freqs)
     est_midi = _freqs_to_midi(est_freqs)
 
-    def _scores(ref_list, est_list):
+    # integer fast path: exact iff rounding error << window < 1 - error
+    if 1e-3 <= window <= 1 - 1e-3:
+        ref_counts = _int_count_matrix(ref_midi)
+        est_counts = (None if ref_counts is None
+                      else _int_count_matrix(est_midi))
+        if ref_counts is not None and est_counts is not None:
+            return _pack_result(
+                _counts_to_scores(ref_counts, est_counts),
+                _counts_to_scores(_chroma_fold(ref_counts),
+                                  _chroma_fold(est_counts)))
+
+    def _scores(ref_list, est_list, count_fn):
         n_ref_total = n_est_total = tp_total = 0
         e_sub = e_miss = e_fa = e_tot = 0
         for r, e in zip(ref_list, est_list):
             n_ref, n_est = len(r), len(e)
-            tp = _frame_matching_count(r, e, window)
+            tp = count_fn(r, e)
             n_ref_total += n_ref
             n_est_total += n_est
             tp_total += tp
@@ -177,10 +297,6 @@ def evaluate_multipitch(ref_time, ref_freqs, est_time, est_freqs,
                     e_sub=e_sub / denom, e_miss=e_miss / denom,
                     e_fa=e_fa / denom, e_tot=e_tot / denom)
 
-    plain = _scores(ref_midi, est_midi)
-    chroma_ref = [np.mod(r, 12) for r in ref_midi]
-    chroma_est = [np.mod(e, 12) for e in est_midi]
-
     def _chroma_count(r, e):
         if len(r) == 0 or len(e) == 0:
             return 0
@@ -189,39 +305,38 @@ def evaluate_multipitch(ref_time, ref_freqs, est_time, est_freqs,
         pairs = [tuple(p) for p in np.argwhere(d <= window)]
         return len(_max_bipartite_matching(pairs, len(r), len(e)))
 
-    n_ref_total = sum(len(r) for r in chroma_ref)
-    n_est_total = sum(len(e) for e in chroma_est)
-    tp_total = sum(_chroma_count(r, e)
-                   for r, e in zip(chroma_ref, chroma_est))
-    e_sub = sum(min(len(r), len(e)) - _chroma_count(r, e)
-                for r, e in zip(chroma_ref, chroma_est))
-    e_miss = sum(max(0, len(r) - len(e))
-                 for r, e in zip(chroma_ref, chroma_est))
-    e_fa = sum(max(0, len(e) - len(r))
-               for r, e in zip(chroma_ref, chroma_est))
-    e_tot = sum(max(len(r), len(e)) - _chroma_count(r, e)
-                for r, e in zip(chroma_ref, chroma_est))
-    denom = max(n_ref_total, 1)
-    fp = n_est_total - tp_total
-    fn = n_ref_total - tp_total
+    plain = _scores(ref_midi, est_midi,
+                    lambda r, e: _frame_matching_count(r, e, window))
+    chroma = _scores([np.mod(r, 12) for r in ref_midi],
+                     [np.mod(e, 12) for e in est_midi], _chroma_count)
+    return _pack_result(plain, chroma)
 
-    return {
-        "Precision": plain["precision"],
-        "Recall": plain["recall"],
-        "Accuracy": plain["accuracy"],
-        "Substitution Error": plain["e_sub"],
-        "Miss Error": plain["e_miss"],
-        "False Alarm Error": plain["e_fa"],
-        "Total Error": plain["e_tot"],
-        "Chroma Precision": tp_total / n_est_total if n_est_total else 0.0,
-        "Chroma Recall": tp_total / n_ref_total if n_ref_total else 0.0,
-        "Chroma Accuracy": (tp_total / (tp_total + fp + fn)
-                            if tp_total + fp + fn else 0.0),
-        "Chroma Substitution Error": e_sub / denom,
-        "Chroma Miss Error": e_miss / denom,
-        "Chroma False Alarm Error": e_fa / denom,
-        "Chroma Total Error": e_tot / denom,
-    }
+
+def evaluate_multipitch_rolls(ref_roll, est_roll, min_midi, window=0.5):
+    """evaluate_multipitch on binary pianorolls (T, keys) directly.
+
+    Equivalent to converting each roll's active bins to Hz per frame
+    (`decode.notes_to_frames` + midi_to_hz) and calling
+    `evaluate_multipitch` — proven equal in tests — but skips the
+    per-frame list/Hz round-trip entirely. Requires a shared time base
+    (same T) and 1e-3 <= window <= 1 - 1e-3 (integer-bin exactness).
+    """
+    if ref_roll.shape[0] != est_roll.shape[0]:
+        raise ValueError("rolls must share a time base")
+    if not (1e-3 <= window <= 1 - 1e-3):
+        raise ValueError("window outside the integer-exact regime")
+
+    def _counts(roll):
+        counts = np.zeros((roll.shape[0], 128), dtype=np.int64)
+        hi = min(128, min_midi + roll.shape[1])
+        counts[:, min_midi:hi] = (np.asarray(roll) > 0)[:, :hi - min_midi]
+        return counts
+
+    ref_counts, est_counts = _counts(ref_roll), _counts(est_roll)
+    return _pack_result(
+        _counts_to_scores(ref_counts, est_counts),
+        _counts_to_scores(_chroma_fold(ref_counts),
+                          _chroma_fold(est_counts)))
 
 
 def average_precision_score(y_true, y_score):

@@ -166,6 +166,7 @@ def run_training(model, cfg, datasets=None):
     metrics = evaluate_wo_velocity(
         full_validation, _eval_runner(model, state),
         reconstruction=False,
+        batch_songs=cfg.get("eval_batch_songs", 1),
         save_path=os.path.join(logdir, "MIDI_results"))
     print_metrics(metrics)
     with open(os.path.join(logdir, "result_dict"), "wb") as f:

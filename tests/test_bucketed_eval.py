@@ -165,3 +165,30 @@ def test_transcribe_bucketing_all_models():
             np.asarray(bkt["frame"])[:, :frames - HALO],
             np.asarray(exact["frame"])[:, :frames - HALO], atol=5e-4,
             err_msg=type(model).__name__)
+
+
+@pytest.mark.slow
+def test_grouped_eval_matches_per_song():
+    """batch_songs=G (vmapped same-bucket groups) reproduces the per-song
+    path: same metric keys, same values, corpus order preserved — across
+    two buckets and a non-full tail group."""
+    from reconvat_tpu.evaluate import evaluate_wo_velocity
+    from reconvat_tpu.models.reconvat import ReconVAT
+
+    model = ReconVAT(reconstruction=True)
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=64)
+    runner = make_bucketed_runner(model, variables, buckets=(64, 128))
+    # 5 songs: buckets 64,128 interleaved; group of 2 leaves a tail of 1
+    songs = [_song(f, seed=f) for f in (40, 100, 44, 104, 48)]
+
+    ref = evaluate_wo_velocity(songs, runner, reconstruction=True,
+                               pipeline=0)
+    got = evaluate_wo_velocity(songs, runner, reconstruction=True,
+                               pipeline=1, batch_songs=2)
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+    # grouped compiles: one vmapped executable per (bucket, G)
+    assert ("group", 64, 2) in runner.cache
+    assert ("group", 128, 2) in runner.cache

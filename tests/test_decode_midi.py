@@ -278,3 +278,20 @@ def test_tsv_to_rolls_matches_reference_loader():
         exp_vel[left:frame_right, f] = vel
     np.testing.assert_array_equal(label, exp)
     np.testing.assert_array_equal(velocity, exp_vel)
+
+
+def test_notes_to_roll_matches_slice_assignment():
+    """Vectorized diff+cumsum roll == one slice assignment per note,
+    including overlapping same-pitch notes and offsets past the end."""
+    rng = np.random.RandomState(5)
+    for trial in range(20):
+        T, K = rng.randint(4, 60), rng.randint(2, 90)
+        n = rng.randint(0, 40)
+        on = rng.randint(0, T, size=n)
+        off = on + rng.randint(0, T, size=n)  # may exceed T
+        p = rng.randint(0, K, size=n)
+        want = np.zeros((T, K))
+        for pitch, (o, f) in zip(p, zip(on, off)):
+            want[o:f, pitch] = 1
+        got = decode.notes_to_roll(p, np.stack([on, off], 1), (T, K))
+        np.testing.assert_array_equal(got, want, err_msg=str(trial))

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--songs", type=int, default=12)
     ap.add_argument("--frames", type=int, default=640)
     ap.add_argument("--depths", default="0,1,2")
+    ap.add_argument("--batch-songs", type=int, default=1,
+                    help="songs per vmapped forward (same-bucket groups)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -55,16 +57,19 @@ def main():
     audio_s = args.songs * args.frames * C.HOP_LENGTH / C.SAMPLE_RATE
 
     # compile + host warmup
-    evaluate_wo_velocity(songs[:1], runner, reconstruction=False)
+    g = args.batch_songs
+    evaluate_wo_velocity(songs[:max(1, g)], runner, reconstruction=False,
+                         batch_songs=g)
 
     print(f"# evaluate_wo_velocity, {args.songs} songs x {args.frames} "
-          f"frames, bf16, device={jax.devices()[0].device_kind}")
+          f"frames, batch_songs={g}, bf16, "
+          f"device={jax.devices()[0].device_kind}")
     for depth in [int(d) for d in args.depths.split(",")]:
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             evaluate_wo_velocity(songs, runner, reconstruction=False,
-                                 pipeline=depth)
+                                 pipeline=depth, batch_songs=g)
             best = min(best, time.perf_counter() - t0)
         print(f"  pipeline={depth}: {best / args.songs * 1e3:7.1f} ms/song"
               f"  ({audio_s / best:7.0f} audio-s/s)", flush=True)
