@@ -101,10 +101,16 @@ def make_bucketed_runner(model, variables, buckets=None):
         exactly as in the single-song path. Groups shorter than
         `group_size` are padded by repeating the last song (outputs
         dropped) so each bucket compiles once per group size.
-        Returns a list of per-song (preds, losses, spec) pairs — a
-        deferred callable per song so the host conversion stays lazy.
+        Returns a list of per-song (preds, losses, spec) tuples; the host
+        conversion stays lazy because the arrays are async jax values.
+
+        Models without `t_true` support can't share a padded batch shape,
+        so they fall back to the exact per-song path — one result per
+        item, same contract.
         """
-        if not supports_bucketing or len(items) == 1:
+        if not supports_bucketing:
+            return [runner(it) for it in items]
+        if len(items) <= 1:
             return [runner(items[0])] if len(items) == 1 else []
         t_pads = {bucket_of(it) for it in items}
         assert len(t_pads) == 1, "run_group needs same-bucket songs"
@@ -246,6 +252,13 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
         # without the frame-by-frame list/Hz round-trip.
         roll_ref = decode.notes_to_roll(p_ref, i_ref, label_frame.shape)
         roll_est = decode.notes_to_roll(p_est, i_est, pred["frame"].shape)
+        if roll_ref.shape[0] != roll_est.shape[0]:
+            # a model/dataset pair with an off-by-a-few frame count (no
+            # t_true support) shouldn't crash the eval: score on the
+            # shared prefix, like the reference's nearest-neighbour
+            # time-base resample tolerated (`evaluate_functions.py:60-66`)
+            t = min(roll_ref.shape[0], roll_est.shape[0])
+            roll_ref, roll_est = roll_ref[:t], roll_est[:t]
 
         scaling = C.HOP_LENGTH / C.SAMPLE_RATE
         i_ref = (np.asarray(i_ref) * scaling).reshape(-1, 2)

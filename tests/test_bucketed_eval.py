@@ -192,3 +192,27 @@ def test_grouped_eval_matches_per_song():
     # grouped compiles: one vmapped executable per (bucket, G)
     assert ("group", 64, 2) in runner.cache
     assert ("group", 128, 2) in runner.cache
+
+
+def test_grouped_eval_without_bucketing_support_falls_back():
+    """batch_songs>1 with a model lacking t_true support (all attention
+    families) must fall back to the exact per-song path instead of
+    crashing (round-4 advisor: run_group returned [] for multi-song
+    groups -> KeyError in evaluate_wo_velocity)."""
+    from reconvat_tpu.evaluate import evaluate_wo_velocity
+    from reconvat_tpu.models import attention_models as am
+
+    model = am.SimpleOnsetFrame(model_complexity=16, w_size=7, n_heads=4)
+    variables = model.init(jax.random.PRNGKey(0), seq_frames=48)
+    runner = make_bucketed_runner(model, variables)
+    assert hasattr(runner, "run_group")
+    songs = [_song(48, seed=s, extra_samples=0) for s in (1, 2, 3)]
+
+    ref = evaluate_wo_velocity(songs, runner, reconstruction=False,
+                               pipeline=0)
+    got = evaluate_wo_velocity(songs, runner, reconstruction=False,
+                               pipeline=1, batch_songs=2)
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
