@@ -151,6 +151,16 @@ class ReconVAT:
                                # (see nn/unet.py), plain NHWC elsewhere
     compute_dtype: str | None = None  # 'bfloat16' = mixed-precision compute
                                       # (params/BN/heads/losses stay fp32)
+    # 'separate' = the reference's two VAT chains (labeled + unlabeled),
+    # each a train-mode (batch-statistics BN) B-sized pass sequence.
+    # 'batched' = one frozen-BN (running statistics) 2B-chain: the power
+    # iteration and adversarial forward run once on [spec_l; spec_ul],
+    # halving chain launches and presenting larger matmuls. Documented
+    # divergence: BN inside the adversarial search then uses running
+    # averages (the original VAT recipe; the reference uses train-mode
+    # BN) — per-segment losses are otherwise exactly the separate
+    # frozen-BN chains (tests/test_vat_batched_chain.py).
+    vat_chain: str = "separate"
     n_heads: int = 4  # for attention visualization metadata
 
     def __post_init__(self):
@@ -232,13 +242,17 @@ class ReconVAT:
                 else frame_mask(t_true, frame_label.shape[1]))
         zero = jnp.zeros(())
 
-        lds_ul, r_norm_ul = zero, zero
+        batched_chain = (self.vat_chain == "batched" and vat
+                         and batch_ul is not None)
+        lds_ul, r_norm_ul, spec_ul = zero, zero, None
         if batch_ul is not None:
             spec_ul = self.make_spec(batch_ul["audio"])
             k_ul, key = jax.random.split(key)
-            lds_ul, _, rn = vat_loss(self._transcriber_fn(variables, train),
-                                     spec_ul, k_ul, self.vat_cfg)
-            r_norm_ul = jnp.mean(jnp.abs(rn))
+            if not batched_chain:
+                lds_ul, _, rn = vat_loss(
+                    self._transcriber_fn(variables, train),
+                    spec_ul, k_ul, self.vat_cfg)
+                r_norm_ul = jnp.mean(jnp.abs(rn))
 
         spec = self.make_spec(batch_l["audio"], t_true)
         out, new_stats = self._apply(variables, spec, train)
@@ -253,10 +267,27 @@ class ReconVAT:
             # XLA does not CSE the duplicate (measured −3.3% step FLOPs,
             # −2.5% bytes); the math is identical either way.
             y_ref = out[1] if self.reconstruction else out[0]
-            lds_l, r_adv, rn = vat_loss(self._transcriber_fn(variables, train),
-                                        spec, k_l, self.vat_cfg, y_ref=y_ref)
-            r_adv = r_adv[..., 0]      # drop channel dim like the reference
-            r_norm_l = jnp.mean(jnp.abs(rn))
+            if batched_chain:
+                # one frozen-BN 2B chain over [labeled; unlabeled] — see
+                # the vat_chain field doc for the semantics
+                b = spec.shape[0]
+                fn = self._transcriber_fn(variables, train=False)
+                y_ref_ul = fn(spec_ul)
+                x_all = jnp.concatenate([spec, spec_ul], axis=0)
+                y_all = jax.tree_util.tree_map(
+                    lambda a, u: jnp.concatenate([a, u], axis=0),
+                    y_ref, y_ref_ul)
+                (lds_l, lds_ul), r_adv, rn = vat_loss(
+                    fn, x_all, k_l, self.vat_cfg, y_ref=y_all, split=b)
+                r_norm_l = jnp.mean(jnp.abs(rn[:b]))
+                r_norm_ul = jnp.mean(jnp.abs(rn[b:]))
+                r_adv = r_adv[:b, ..., 0]
+            else:
+                lds_l, r_adv, rn = vat_loss(
+                    self._transcriber_fn(variables, train),
+                    spec, k_l, self.vat_cfg, y_ref=y_ref)
+                r_adv = r_adv[..., 0]  # drop channel dim like the reference
+                r_norm_l = jnp.mean(jnp.abs(rn))
 
         if self.reconstruction:
             reconstruction, pianoroll, pianoroll2, a = out

@@ -142,6 +142,10 @@ class UNetOnset:
                               # winner, see nn/attention.resolve_attn_impl)
     conv_layout: str = "auto"  # 'auto' = frequency-folded U-Net on TPU
     compute_dtype: str | None = None
+    # 'batched' = one frozen-BN 2B VAT chain over [labeled; unlabeled]
+    # instead of the reference's two separate train-mode-BN chains — see
+    # models/reconvat.ReconVAT.vat_chain for the semantics/divergence note
+    vat_chain: str = "separate"
     n_heads: int = 4
 
     def __post_init__(self):
@@ -202,14 +206,18 @@ class UNetOnset:
                 else frame_mask(t_true, frame_label.shape[1]))
         zero = jnp.zeros(())
 
+        batched_chain = (self.vat_chain == "batched" and vat
+                         and batch_ul is not None)
         lds_ul = {"frame": zero, "onset": zero}
-        r_norm_ul = zero
+        r_norm_ul, spec_ul = zero, None
         if batch_ul is not None:
             spec_ul = self.make_spec(batch_ul["audio"])
             k_ul, key = jax.random.split(key)
-            lds_ul, _, rn = vat_loss(self._transcriber_fn(variables, train),
-                                     spec_ul, k_ul, self.vat_cfg)
-            r_norm_ul = jnp.mean(jnp.abs(rn))
+            if not batched_chain:
+                lds_ul, _, rn = vat_loss(
+                    self._transcriber_fn(variables, train),
+                    spec_ul, k_ul, self.vat_cfg)
+                r_norm_ul = jnp.mean(jnp.abs(rn))
 
         spec = self.make_spec(batch_l["audio"], t_true)
         out, new_stats = self._apply(variables, spec, train)
@@ -226,12 +234,25 @@ class UNetOnset:
             y_ref = ({"frame": out[1], "onset": out[2]}
                      if self.reconstruction
                      else {"frame": out[0], "onset": out[1]})
-            lds_l, r_adv, rn = vat_loss(self._transcriber_fn(variables,
-                                                             train),
-                                        spec, k_l, self.vat_cfg,
-                                        y_ref=y_ref)
-            r_adv = r_adv[..., 0]
-            r_norm_l = jnp.mean(jnp.abs(rn))
+            if batched_chain:
+                b = spec.shape[0]
+                fn = self._transcriber_fn(variables, train=False)
+                y_ref_ul = fn(spec_ul)
+                x_all = jnp.concatenate([spec, spec_ul], axis=0)
+                y_all = jax.tree_util.tree_map(
+                    lambda a, u: jnp.concatenate([a, u], axis=0),
+                    y_ref, y_ref_ul)
+                (lds_l, lds_ul), r_adv, rn = vat_loss(
+                    fn, x_all, k_l, self.vat_cfg, y_ref=y_all, split=b)
+                r_norm_l = jnp.mean(jnp.abs(rn[:b]))
+                r_norm_ul = jnp.mean(jnp.abs(rn[b:]))
+                r_adv = r_adv[:b, ..., 0]
+            else:
+                lds_l, r_adv, rn = vat_loss(
+                    self._transcriber_fn(variables, train),
+                    spec, k_l, self.vat_cfg, y_ref=y_ref)
+                r_adv = r_adv[..., 0]
+                r_norm_l = jnp.mean(jnp.abs(rn))
 
         if self.reconstruction:
             reconstruction, pianoroll, onset, pianoroll2, onset2, a = out

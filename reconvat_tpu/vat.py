@@ -69,7 +69,7 @@ def _tree_objective(y_pred, y_ref, kl_div: bool):
 
 def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
              cfg: VATConfig, init_d: jnp.ndarray | None = None,
-             y_ref=None):
+             y_ref=None, split: int | None = None):
     """Returns (vat_loss_tree, r_adv, d_normalized).
 
     apply_fn(x) -> prediction pytree (array, or dict for frame+onset
@@ -87,10 +87,26 @@ def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
     clean forward — e.g. the supervised pass of the same train step —
     passing it here skips vat_loss's own reference forward; stop_gradient
     is applied either way, so the result is bit-identical.
+
+    split: x is the concatenation of two independent chains along the
+    batch axis (`[:split]` labeled, `[split:]` unlabeled) and the returned
+    loss tree is the tuple (tree_l, tree_ul), each segment's objective
+    computed separately. The power iteration and adversarial forward run
+    as single full-batch passes; when apply_fn is per-sample independent
+    (frozen BN — see ReconVAT.vat_chain='batched') the scalars are
+    identical to two separate vat_loss calls: the only cross-segment
+    coupling is the power objective's mean over 2B instead of B, a
+    power-of-two rescale of d that the per-vector l2 normalization
+    removes exactly.
     """
     if y_ref is None:
         y_ref = apply_fn(x)
     y_ref = jax.tree_util.tree_map(jax.lax.stop_gradient, y_ref)
+
+    def objective_pair(y_pred, y_ref_):
+        if cfg.objective is not None:
+            return cfg.objective(y_pred, y_ref_)
+        return _tree_objective(y_pred, y_ref_, cfg.kl_div)
 
     if init_d is None:
         d = jax.random.normal(key, x.shape, x.dtype)
@@ -98,9 +114,7 @@ def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
         d = init_d  # deterministic seed direction (tests / reproducibility)
 
     def objective(y_pred):
-        if cfg.objective is not None:
-            return cfg.objective(y_pred, y_ref)
-        return _tree_objective(y_pred, y_ref, cfg.kl_div)
+        return objective_pair(y_pred, y_ref)
 
     def perturbed(r):
         xr = x + r
@@ -131,5 +145,16 @@ def vat_loss(apply_fn: Callable, x: jnp.ndarray, key: jax.Array,
         # (longer crops / larger batches), not a default.
         adv_fwd = jax.checkpoint(adv_fwd)
     y_pred = adv_fwd(r_adv)
-    _, loss_tree = objective(y_pred)
-    return loss_tree, r_adv, l2_normalize(d, cfg.binwise, cfg.norm_axis)
+    if split is None:
+        _, loss_tree = objective(y_pred)
+        return loss_tree, r_adv, l2_normalize(d, cfg.binwise, cfg.norm_axis)
+
+    def seg(tree, sl):
+        return jax.tree_util.tree_map(lambda a: a[sl], tree)
+
+    _, tree_l = objective_pair(seg(y_pred, slice(None, split)),
+                               seg(y_ref, slice(None, split)))
+    _, tree_ul = objective_pair(seg(y_pred, slice(split, None)),
+                                seg(y_ref, slice(split, None)))
+    return (tree_l, tree_ul), r_adv, l2_normalize(d, cfg.binwise,
+                                                  cfg.norm_axis)
