@@ -100,10 +100,13 @@ def cycle(loader):
         yield from loader
 
 
-def prefetch_to_device(iterator, size: int = 2):
+def prefetch_to_device(iterator, size: int = 2, put=None):
     """Yield batches already resident on the default device, keeping `size`
     transfers in flight ahead of the consumer (double buffering: the H2D
-    copy of batch i+1 overlaps the step on batch i)."""
+    copy of batch i+1 overlaps the step on batch i).
+
+    `put` overrides the placement of a whole batch dict (mesh training
+    passes `parallel.mesh`-aware sharding here, see train/driver.py)."""
     import collections
 
     import jax
@@ -111,6 +114,8 @@ def prefetch_to_device(iterator, size: int = 2):
     queue = collections.deque()
 
     def _put(batch):
+        if put is not None:
+            return put(batch)
         return {k: (jax.device_put(v) if k in BATCH_KEYS else v)
                 for k, v in batch.items()}
 
@@ -120,3 +125,19 @@ def prefetch_to_device(iterator, size: int = 2):
             yield queue.popleft()
     while queue:
         yield queue.popleft()
+
+
+class MappedLoader:
+    """Sized loader wrapper applying `fn` to every yielded batch (used to
+    route full-epoch sweeps through mesh sharding, train/driver.py)."""
+
+    def __init__(self, loader, fn):
+        self.loader = loader
+        self.fn = fn
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            yield self.fn(batch)

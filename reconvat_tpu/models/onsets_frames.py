@@ -96,6 +96,11 @@ class OnsetsAndFrames:
         return self.module.init({"params": key}, dummy, train=False)
 
     def make_spec(self, audio, t_true=None):
+        # Mesh note: this family is data-parallel only (mesh_sp=1). The
+        # BiLSTM stacks scan over time, so sequence-parallel time sharding
+        # would turn the recurrence into a per-step collective chain
+        # (SURVEY §2.5); spec_constraint still applies the dp batch
+        # sharding, and sp=1 meshes leave the time axis whole.
         from ..parallel.mesh import spec_constraint
 
         from .common import make_log_norm_spec

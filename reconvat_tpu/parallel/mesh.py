@@ -50,6 +50,24 @@ class MeshContext:
     def sharding(self, *axes):
         return NamedSharding(self.mesh, P(*axes))
 
+    @property
+    def batch_shards(self) -> int:
+        """Number of ways the batch axis is split (dcn x dp)."""
+        ax = self.batch_axis
+        if ax is None:
+            return 1
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        n = 1
+        for a in axes:
+            if a:
+                n *= self.mesh.shape[a]
+        return n
+
+    @property
+    def time_shards(self) -> int:
+        """Number of ways the posteriogram time axis is split (sp)."""
+        return self.mesh.shape[self.time_axis] if self.time_axis else 1
+
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
               sp: int = 1) -> Mesh:
@@ -96,11 +114,21 @@ def active() -> Optional[MeshContext]:
 
 
 def spec_constraint(x):
-    """Shard a (B, T, F, ...) spec image batch-over-dp, time-over-sp."""
+    """Shard a (B, T, F, ...) spec image batch-over-dp, time-over-sp.
+
+    An axis that does not divide over its mesh axis is left unsharded —
+    e.g. a batch-1 full-song eval under a dp=4 training mesh runs with a
+    replicated batch axis but still time-shards over sp (the long-context
+    path), instead of erroring."""
     ctx = _ACTIVE
     if ctx is None:
         return x
-    axes = [ctx.batch_axis, ctx.time_axis] + [None] * (x.ndim - 2)
+    batch_axis = (ctx.batch_axis
+                  if x.shape[0] % max(ctx.batch_shards, 1) == 0 else None)
+    time_axis = (ctx.time_axis
+                 if x.ndim > 1 and ctx.time_axis is not None
+                 and x.shape[1] % max(ctx.time_shards, 1) == 0 else None)
+    axes = [batch_axis, time_axis] + [None] * (x.ndim - 2)
     return jax.lax.with_sharding_constraint(x, ctx.sharding(*axes))
 
 

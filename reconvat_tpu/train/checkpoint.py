@@ -51,6 +51,27 @@ def save_checkpoint(directory: str, step: int, state,
             "step": np.asarray(state.step)}
     if state.batch_stats is not None:
         tree["batch_stats"] = state.batch_stats
+    if jax.process_count() > 1:
+        # multi-host: state is fully replicated (parallel/mesh.replicate),
+        # so every process holds the complete tree — host 0 writes it as
+        # plain numpy through a host-0-only checkpointer
+        # (active_processes={0}; a default orbax checkpointer would
+        # barrier over sync_global_devices and deadlock the other hosts),
+        # then everyone barriers so no process races past an unfinished
+        # write. Assumes `directory` is shared storage, as on a pod.
+        tree = jax.tree_util.tree_map(np.asarray, tree)
+        if jax.process_index() == 0:
+            import orbax.checkpoint as ocp
+
+            solo = ocp.Checkpointer(
+                ocp.StandardCheckpointHandler(),
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0}))
+            solo.save(path, tree, force=True)
+        from ..parallel.distributed import sync
+
+        sync(f"ckpt-{step}")
+        return path
     ckptr = _async_ckptr()
     ckptr.save(path, tree, force=True)
     if block:

@@ -17,8 +17,8 @@ from ..evaluate import (evaluate_wo_velocity, make_bucketed_runner,
                         print_metrics)
 from ..utils import summary
 from . import checkpoint as ckpt
-from .loop import (TensorboardLogger, tensorboard_log, train_VAT_model,
-                   train_model)
+from .loop import (NullLogger, TensorboardLogger, tensorboard_log,
+                   train_VAT_model, train_model)
 from .prepare import prepare_VAT_dataset
 from .state import (create_train_state, make_eval_step, make_train_step)
 
@@ -29,9 +29,58 @@ def _eval_runner(model, state):
     return make_bucketed_runner(model, state.variables)
 
 
+def build_mesh(cfg):
+    """Device mesh from the training config, or None (single device —
+    the reference's only mode, `train_UNet_Onset_VAT.py:34`).
+
+    Knobs (every training CLI exposes them):
+      mesh_dp:   data-parallel ways (batch axis; gradient psum over ICI).
+                 -1 = all devices not taken by sp.
+      mesh_sp:   sequence-parallel ways (posteriogram time axis; GSPMD
+                 inserts the conv / window-attention halo exchanges).
+      multihost: add the 'dcn' axis (one slice per process) on top of the
+                 per-host dp x sp plane; requires jax.distributed
+                 (parallel/distributed.py). Only the gradient all-reduce
+                 crosses DCN.
+    """
+    dp = int(cfg.get("mesh_dp") or 0)
+    sp = int(cfg.get("mesh_sp") or 0)
+    multihost = bool(cfg.get("multihost", False))
+    if not (multihost or dp > 1 or sp > 1 or dp == -1):
+        return None
+    from ..parallel import mesh as pmesh
+
+    sp = max(sp, 1)
+    if multihost:
+        from ..parallel import distributed
+
+        distributed.initialize()
+        return pmesh.make_multihost_mesh(dp=(dp if dp > 0 else None), sp=sp)
+    if dp <= 0:
+        dp = len(jax.devices()) // sp
+    return pmesh.make_mesh(dp * sp, dp=dp, sp=sp)
+
+
 def run_training(model, cfg, datasets=None):
     """cfg: resolved config dict (sacred-style names). datasets: optional
-    prebuilt (l_set, ul_set, validation, full_validation) tuple."""
+    prebuilt (l_set, ul_set, validation, full_validation) tuple.
+
+    With mesh_dp/mesh_sp/multihost set, the entire run — state, steps,
+    checkpoints, TensorBoard eval, final full-song evaluation — executes
+    under an activated `parallel.mesh` device mesh: parameters replicated,
+    batches sharded batch-over-(dcn,)dp and time-over-sp, XLA GSPMD
+    inserting the collectives (SURVEY §2.5; the reference is single-device
+    by omission)."""
+    mesh = build_mesh(cfg)
+    if mesh is None:
+        return _run_training(model, cfg, datasets, None)
+    from ..parallel import mesh as pmesh
+
+    with pmesh.activate(mesh) as ctx:
+        return _run_training(model, cfg, datasets, ctx)
+
+
+def _run_training(model, cfg, datasets, mesh_ctx):
     if datasets is None:
         datasets = prepare_VAT_dataset(
             sequence_length=cfg["sequence_length"],
@@ -42,6 +91,33 @@ def run_training(model, cfg, datasets=None):
             dataset=cfg["train_on"])
     supervised_set, unsupervised_set, validation_dataset, full_validation = \
         datasets
+
+    # host 0 owns every artifact write (checkpoints, TensorBoard, MIDI
+    # dumps); all processes still execute the same device computations so
+    # multi-host collectives stay in lockstep
+    is_main = jax.process_index() == 0
+    shard = None
+    if mesh_ctx is not None:
+        from ..data.loader import BATCH_KEYS, MappedLoader
+        from ..parallel import mesh as pmesh
+
+        n_proc = jax.process_count() if mesh_ctx.multihost else 1
+        bs = cfg.get("train_batch_size", cfg["batch_size"])
+        if (bs * n_proc) % mesh_ctx.batch_shards:
+            raise ValueError(
+                f"global batch ({bs} x {n_proc} process(es)) must divide "
+                f"over {mesh_ctx.batch_shards} batch shards (dcn x dp) — "
+                "adjust batch_size or mesh_dp")
+        if (cfg["sequence_length"] // 512) % mesh_ctx.time_shards:
+            raise ValueError(
+                f"{cfg['sequence_length'] // 512} frames must divide over "
+                f"mesh_sp={mesh_ctx.time_shards}")
+
+        def shard(batch):
+            arrs = pmesh.shard_batch(
+                {k: v for k, v in batch.items() if k in BATCH_KEYS},
+                mesh_ctx)
+            return {**batch, **arrs}
 
     vat = cfg.get("VAT", False)
     alpha = cfg.get("alpha", 1)
@@ -90,6 +166,11 @@ def run_training(model, cfg, datasets=None):
         state = ckpt.restore_checkpoint(path, state)
         print(f"resumed from {path}")
 
+    if mesh_ctx is not None:
+        # params + optimizer moments replicated over every mesh device;
+        # from here on the sharded batches drive GSPMD's collectives
+        state = pmesh.replicate(state, mesh_ctx)
+
     summary(type(model).__name__, {"params": state.params})
 
     application = cfg.get("application", False)
@@ -105,9 +186,11 @@ def run_training(model, cfg, datasets=None):
 
     logger = None
     # background batch assembly (DataLoader prefetch thread) + H2D double
-    # buffering so host work overlaps device steps
-    l_iter = prefetch_to_device(cycle(supervised_loader))
-    ul_iter = (prefetch_to_device(cycle(ul_loader))
+    # buffering so host work overlaps device steps; under a mesh the same
+    # prefetch path places each batch sharded (batch over (dcn,)dp, label
+    # time over sp)
+    l_iter = prefetch_to_device(cycle(supervised_loader), put=shard)
+    ul_iter = (prefetch_to_device(cycle(ul_loader), put=shard)
                if ul_loader is not None else None)
 
     epoches = cfg.get("epoches", 20000)
@@ -129,12 +212,14 @@ def run_training(model, cfg, datasets=None):
     # `train_baseline_Thickstun.py:122`, `train_baseline_Prestack.py:129`);
     # VAT configs keep the 10-iteration loop
     full_epoch = cfg.get("train_loop", "iteration") == "full_epoch"
+    epoch_loader = (MappedLoader(supervised_loader, shard)
+                    if shard is not None else supervised_loader)
 
     for ep in range(1, epoches + 1):
         key, sub = jax.random.split(key)
         if full_epoch:
             state, losses = train_model(model, state, train_steps[False],
-                                        ep, supervised_loader, sub,
+                                        ep, epoch_loader, sub,
                                         timer=timer, pipeline=pipeline)
         else:
             state, losses = train_VAT_model(
@@ -151,7 +236,10 @@ def run_training(model, cfg, datasets=None):
                     vat=vat, vat_start=vat_start, verbose=False)
 
         if logger is None:
-            logger = TensorboardLogger(logdir)
+            # non-main processes run the same eval forwards (collective
+            # lockstep) but write nothing
+            logger = (TensorboardLogger(logdir) if is_main
+                      else NullLogger())
         key, sub = jax.random.split(key)
         tensorboard_log(logger, model, state, batch_visualize,
                         validation_dataset, supervised_loader, eval_step,
@@ -167,10 +255,13 @@ def run_training(model, cfg, datasets=None):
         full_validation, _eval_runner(model, state),
         reconstruction=False,
         batch_songs=cfg.get("eval_batch_songs", 1),
-        save_path=os.path.join(logdir, "MIDI_results"))
+        host_workers=cfg.get("eval_host_workers", 0),
+        save_path=(os.path.join(logdir, "MIDI_results") if is_main
+                   else None))
     print_metrics(metrics)
-    with open(os.path.join(logdir, "result_dict"), "wb") as f:
-        pickle.dump(dict(metrics), f)
+    if is_main:
+        with open(os.path.join(logdir, "result_dict"), "wb") as f:
+            pickle.dump(dict(metrics), f)
     if logger is not None:
         logger.close()
     return state, metrics

@@ -232,6 +232,24 @@ def flatten_attention(a, w_size=31):
     return out
 
 
+class NullLogger:
+    """Write-nothing logger for non-main processes in a multi-host run:
+    they must execute the same device computations as host 0 (collective
+    lockstep) but must not contend for the TensorBoard event files."""
+
+    def add_scalar(self, key, value, step):
+        pass
+
+    def log_losses(self, losses, step):
+        pass
+
+    def log_images(self, tag, arrays, step, cmap="jet"):
+        pass
+
+    def close(self):
+        pass
+
+
 class TensorboardLogger:
     """Scalar + figure logging with the reference's tags."""
 

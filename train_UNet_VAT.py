@@ -54,6 +54,19 @@ def config():
     compute_dtype = 'bfloat16'  # fp32 params/BN/heads; None = full fp32
     attn_impl = 'auto'  # 'auto'|'xla'|'pallas' (see nn/attention.py)
     conv_layout = 'auto'  # 'auto'|'folded'|'nhwc' U-Net layout (nn/unet.py)
+    # device-mesh parallelism (reference is single-device by omission,
+    # `train_UNet_Onset_VAT.py:34`): mesh_dp = data-parallel ways (-1 =
+    # all devices), mesh_sp = sequence-parallel ways, multihost = add the
+    # DCN axis via jax.distributed (see reconvat_tpu/parallel/mesh.py)
+    mesh_dp = 0
+    mesh_sp = 0
+    multihost = False
+    # 'batched' fuses the labeled+unlabeled VAT chains into one frozen-BN
+    # 2B invocation — measured 1.11x step win on v5e
+    # (bench_logs/r5_vat_chain_ab.log); default keeps the reference's two
+    # train-mode-BN chains (see models/reconvat.ReconVAT.vat_chain)
+    vat_chain = 'separate'
+    eval_host_workers = 0  # >0: thread pool over songs' host metrics
 
     logdir = (f"{root}/Unet-recons={reconstruction}-XI={XI}-eps={eps}"
               f"-alpha={alpha}-train_on=small_{small}_{train_on}"
@@ -65,7 +78,7 @@ def config():
 
 @ex.automain
 def train(spec, device, log, reconstruction, XI, eps, KL_Div,
-          compute_dtype, attn_impl, conv_layout, **_ignored):
+          compute_dtype, attn_impl, conv_layout, vat_chain, **_ignored):
     if device == "cpu":
         import jax
 
@@ -78,5 +91,5 @@ def train(spec, device, log, reconstruction, XI, eps, KL_Div,
     model = ReconVAT(log=log, reconstruction=reconstruction, mode=mode,
                      spec=spec, xi=XI, eps=eps, kl_div=KL_Div,
                      compute_dtype=compute_dtype, attn_impl=attn_impl,
-                     conv_layout=conv_layout)
+                     conv_layout=conv_layout, vat_chain=vat_chain)
     return run_training(model, ex.current_run.config)

@@ -53,6 +53,13 @@ def config():
     seed = 42
     compute_dtype = None   # 'bfloat16' = mixed-precision compute
     conv_layout = 'auto'   # 'auto'|'folded'|'nhwc' (see models/segmentation.py)
+    # device-mesh parallelism (reference is single-device by omission,
+    # `train_UNet_Onset_VAT.py:34`): mesh_dp = data-parallel ways (-1 =
+    # all devices), mesh_sp = sequence-parallel ways, multihost = add the
+    # DCN axis via jax.distributed (see reconvat_tpu/parallel/mesh.py)
+    mesh_dp = 0
+    mesh_sp = 0
+    multihost = False
 
     logdir = (f"{root}/VAT_Segmentation={reconstruction}-KL={KL_Div}-XI={XI}"
               f"-eps={eps}-alpha={alpha}-train_on=small_{small}_{train_on}"

@@ -55,6 +55,12 @@ def config():
     # 10-iteration VAT loop (`train_baseline_Thickstun.py:122`)
     train_loop = "full_epoch"
     compute_dtype = None   # 'bfloat16' = mixed-precision compute
+    # device-mesh parallelism knobs (see reconvat_tpu/parallel/mesh.py;
+    # mesh_dp=-1 = all devices, mesh_sp = sequence-parallel ways,
+    # multihost = DCN axis via jax.distributed)
+    mesh_dp = 0
+    mesh_sp = 0
+    multihost = False
 
     logdir = (f"{root}/baseline_Prestack-train_on={train_on}"
               f"-lr={learning_rate}-"

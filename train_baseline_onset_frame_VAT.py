@@ -54,6 +54,12 @@ def config():
     refresh = False
     seed = 42
     compute_dtype = None   # 'bfloat16' = mixed-precision conv trunk
+    # device-mesh parallelism knobs (see reconvat_tpu/parallel/mesh.py;
+    # mesh_dp=-1 = all devices, mesh_sp = sequence-parallel ways,
+    # multihost = DCN axis via jax.distributed)
+    mesh_dp = 0
+    mesh_sp = 0
+    multihost = False
 
     logdir = (f"{root}/baseline_Onset_Frame-"
               + datetime.now().strftime("%y%m%d-%H%M%S"))
