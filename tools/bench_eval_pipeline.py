@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--depths", default="0,1,2")
     ap.add_argument("--batch-songs", type=int, default=1,
                     help="songs per vmapped forward (same-bucket groups)")
+    ap.add_argument("--workers", default="0",
+                    help="comma list of host_workers values to sweep "
+                         "(thread-pooled per-song scoring)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -65,14 +68,17 @@ def main():
           f"frames, batch_songs={g}, bf16, "
           f"device={jax.devices()[0].device_kind}")
     for depth in [int(d) for d in args.depths.split(",")]:
-        best = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            evaluate_wo_velocity(songs, runner, reconstruction=False,
-                                 pipeline=depth, batch_songs=g)
-            best = min(best, time.perf_counter() - t0)
-        print(f"  pipeline={depth}: {best / args.songs * 1e3:7.1f} ms/song"
-              f"  ({audio_s / best:7.0f} audio-s/s)", flush=True)
+        for workers in [int(w) for w in args.workers.split(",")]:
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                evaluate_wo_velocity(songs, runner, reconstruction=False,
+                                     pipeline=depth, batch_songs=g,
+                                     host_workers=workers)
+                best = min(best, time.perf_counter() - t0)
+            print(f"  pipeline={depth} host_workers={workers}: "
+                  f"{best / args.songs * 1e3:7.1f} ms/song"
+                  f"  ({audio_s / best:7.0f} audio-s/s)", flush=True)
 
 
 if __name__ == "__main__":
