@@ -78,8 +78,13 @@ class PallasMelSpectrogram:
     def __init__(self, sr=22050, n_fft=2048, win_length=None, n_mels=128,
                  hop_length=512, window="hann", center=True,
                  pad_mode="reflect", fmin=0.0, fmax=None, norm=1,
-                 htk=False, power=2.0, frames_per_block=640,
+                 htk=False, power=2.0, frames_per_block=160,
                  freq_block=256, precision=None):
+        # frames_per_block=160: the production 640-frame window splits
+        # evenly (no padded-frame waste) and the per-step VMEM footprint
+        # (rows 1.3M + 2x2M DFT weights + mel/out blocks, double-buffered)
+        # stays under the 16M scoped limit — 640 blows it at B=128
+        # (18M > 16M compile error, bench_logs/r5_mel_ab.log history)
         assert power == 2.0, "fused kernel implements the power=2 path"
         assert n_fft % hop_length == 0, \
             "fused kernel needs hop | n_fft (512 | 2048 default)"

@@ -361,6 +361,20 @@ def make_frontend(spec: str = "Mel", sr: int | None = None,
     hop_length = hop_length or C.HOP_LENGTH
     if spec == "Mel":
         n_bins = n_bins or C.N_BINS
+        # RECONVAT_MEL_IMPL=pallas swaps in the fused Pallas STFT+mel
+        # kernel (ops/pallas_mel.py). Default XLA: measured on v5e the
+        # XLA framing-matmul frontend wins inside both the B=128 serving
+        # pipeline and the train step (see bench_logs/r5_mel_ab.log,
+        # tools/bench_mel_ab.py) — the mel is a tiny slice of either
+        # graph and XLA fuses it with the surrounding log/normalize.
+        import os
+        if os.environ.get("RECONVAT_MEL_IMPL", "xla") == "pallas":
+            from .pallas_mel import PallasMelSpectrogram
+
+            return PallasMelSpectrogram(
+                sr=sr, win_length=C.WINDOW_LENGTH, n_fft=C.WINDOW_LENGTH,
+                n_mels=n_bins, hop_length=hop_length, fmin=C.MEL_FMIN,
+                fmax=C.MEL_FMAX, precision=precision), n_bins
         return MelSpectrogram(sr=sr, win_length=C.WINDOW_LENGTH,
                               n_fft=C.WINDOW_LENGTH, n_mels=n_bins,
                               hop_length=hop_length, fmin=C.MEL_FMIN,
