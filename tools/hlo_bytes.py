@@ -143,6 +143,8 @@ def main():
     ap.add_argument("--layout", default="auto",
                     help="U-Net conv layout: auto|folded|nhwc")
     ap.add_argument("--infer", action="store_true")
+    ap.add_argument("--model", default="reconvat",
+                    help="reconvat|prestack (train-step graph)")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logical", action="store_true",
                     help="ignore tile padding (logical bytes)")
@@ -189,13 +191,24 @@ def main():
                 "velocity": r.rand(B, F, 88).astype(np.float32),
             }
 
-        model = ReconVAT(reconstruction=True, attn_impl=args.attn,
-                         compute_dtype=dtype, conv_layout=args.layout)
-        state = create_train_state(model, jax.random.PRNGKey(0),
-                                   seq_frames=F)
-        step = make_train_step(model, 1.0, vat=True, use_unlabeled=True)
-        compiled = step.lower(state, batch(0), batch(1),
-                              jax.random.PRNGKey(1)).compile()
+        if args.model == "prestack":
+            from reconvat_tpu.models.prestack import Prestack
+
+            model = Prestack(compute_dtype=dtype)
+            state = create_train_state(model, jax.random.PRNGKey(0),
+                                       seq_frames=F)
+            step = make_train_step(model, 1.0, vat=False,
+                                   use_unlabeled=False)
+            compiled = step.lower(state, batch(0), None,
+                                  jax.random.PRNGKey(1)).compile()
+        else:
+            model = ReconVAT(reconstruction=True, attn_impl=args.attn,
+                             compute_dtype=dtype, conv_layout=args.layout)
+            state = create_train_state(model, jax.random.PRNGKey(0),
+                                       seq_frames=F)
+            step = make_train_step(model, 1.0, vat=True, use_unlabeled=True)
+            compiled = step.lower(state, batch(0), batch(1),
+                                  jax.random.PRNGKey(1)).compile()
 
     text = compiled.as_text()
     if args.dump:
