@@ -82,7 +82,9 @@ def config():
     refresh = False
     rule = "rule2"
     batch_songs = 1  # >1: vmapped same-bucket song groups (faster, exact)
-    host_workers = 0  # >0: thread pool over songs' host scoring (exact)
+    host_workers = 4  # thread pool over songs' host scoring (bit-identical;
+                      # measured 228.6 -> 122.5 ms/song at 4,
+                      # bench_logs/r5_eval_workers.log); 0 = synchronous
 
     logdir = os.path.join(output_folder, str(weight_file))
 

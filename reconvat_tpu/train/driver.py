@@ -255,7 +255,7 @@ def _run_training(model, cfg, datasets, mesh_ctx):
         full_validation, _eval_runner(model, state),
         reconstruction=False,
         batch_songs=cfg.get("eval_batch_songs", 1),
-        host_workers=cfg.get("eval_host_workers", 0),
+        host_workers=cfg.get("eval_host_workers", 4),
         save_path=(os.path.join(logdir, "MIDI_results") if is_main
                    else None))
     print_metrics(metrics)

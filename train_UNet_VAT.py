@@ -66,7 +66,8 @@ def config():
     # (bench_logs/r5_vat_chain_ab.log); default keeps the reference's two
     # train-mode-BN chains (see models/reconvat.ReconVAT.vat_chain)
     vat_chain = 'separate'
-    eval_host_workers = 0  # >0: thread pool over songs' host metrics
+    eval_host_workers = 4  # thread pool over songs' host metrics
+                           # (bit-identical; measured 1.9x, 0 = sync)
 
     logdir = (f"{root}/Unet-recons={reconstruction}-XI={XI}-eps={eps}"
               f"-alpha={alpha}-train_on=small_{small}_{train_on}"
