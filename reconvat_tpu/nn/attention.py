@@ -14,6 +14,7 @@ and both contractions run on the MXU.
 from __future__ import annotations
 
 import functools
+import os
 
 import flax.linen as nn
 import jax
@@ -57,8 +58,6 @@ def _use_pallas_bwd() -> bool:
     639 ms bf16 — that measure transfer overlap through the dev relay,
     not the kernels; see tools/bench_train_step.py --h2d.)
     """
-    import os
-
     flag = os.environ.get("RECONVAT_PALLAS_BWD")
     return bool(flag) and flag != "0"
 
@@ -117,7 +116,7 @@ def resolve_attn_impl(impl: str) -> str:
 
 def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
                      return_probs: bool = True,
-                     precision=None):
+                     precision=None, seq_major: bool = True):
     """Banded local attention core.
 
     q:    (B, L, H, Dh)
@@ -126,6 +125,17 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
     rel:  (H, Dh, window) relative position embedding added to K, or None
 
     Returns (out (B, L, H, Dh), probs (B, L, H, window) or None).
+
+    seq_major=False builds the halo context stacks head-major
+    (B, nb, H, ctx, Dh): einsum-operand order, and the H=1 head axis is
+    never a tile-padded penultimate dim. Tile-aware HLO accounting
+    (`tools/hlo_bytes.py`, bench_logs/r5_serve_hlo_bytes_before.log)
+    flagged the seq-major stacks as 8x sublane-padded, but the on-chip
+    A/B measured a TIE both ways — serve 59.9 vs 59.5 ms, train step
+    65.8 vs 65.6 ms (bench_logs/r5_attn_layout_{serve,train}_ab.log):
+    XLA never moves the padding. Both layouts are bit-identical
+    (tests/test_attn_layout.py); default stays the established
+    seq-major formulation.
     """
     B, L, H, Dh = q.shape
     if precision is None:
@@ -145,14 +155,24 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
     qb = qb.reshape(B, nb, bs, H, Dh)
     kp = jnp.pad(kpad, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
     vp = jnp.pad(vpad, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
+    if not seq_major:
+        qb = qb.transpose(0, 1, 3, 2, 4)     # (B, nb, H, bs, Dh)
+        kp = kp.transpose(0, 2, 1, 3)        # (B, H, Lp + 2*hw, Dh)
+        vp = vp.transpose(0, 2, 1, 3)
+        seq_axis, q_spec, ctx_spec, out_spec = 2, "bnhqd", "bnhkd", "bnhqd"
+    else:
+        seq_axis, q_spec, ctx_spec, out_spec = 1, "bnqhd", "bnkhd", "bnqhd"
 
     # halo-extended context blocks: block i sees [i*bs, i*bs + ctx)
-    kctx = jnp.stack([jax.lax.slice_in_dim(kp, i * bs, i * bs + ctx, axis=1)
-                      for i in range(nb)], axis=1)
-    vctx = jnp.stack([jax.lax.slice_in_dim(vp, i * bs, i * bs + ctx, axis=1)
+    kctx = jnp.stack([jax.lax.slice_in_dim(kp, i * bs, i * bs + ctx,
+                                           axis=seq_axis)
+                      for i in range(nb)], axis=1)   # (B, nb, [H,] ctx, ...)
+    vctx = jnp.stack([jax.lax.slice_in_dim(vp, i * bs, i * bs + ctx,
+                                           axis=seq_axis)
                       for i in range(nb)], axis=1)
 
-    scores = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, kctx, precision=precision)
+    scores = jnp.einsum(f"{q_spec},{ctx_spec}->bnhqk", qb, kctx,
+                        precision=precision)
 
     rows = np.arange(bs)[:, None]
     cols = np.arange(ctx)[None, :]
@@ -166,7 +186,8 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
         (offs[None] == np.arange(W)[:, None, None]).astype(np.float32))
 
     if rel is not None:
-        qrel = jnp.einsum("bnqhd,hdw->bnhqw", qb, rel, precision=precision)
+        qrel = jnp.einsum(f"{q_spec},hdw->bnhqw", qb, rel,
+                          precision=precision)
         bias = jnp.einsum("bnhqw,wqk->bnhqk", qrel, band_onehot,
                           precision=precision)
         scores = scores + bias
@@ -176,7 +197,10 @@ def banded_attention(q, kpad, vpad, rel, window: int, block_size: int = 128,
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = probs.astype(vctx.dtype)
 
-    out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, vctx, precision=precision)
+    out = jnp.einsum(f"bnhqk,{ctx_spec}->{out_spec}", probs, vctx,
+                     precision=precision)
+    if not seq_major:
+        out = out.transpose(0, 1, 3, 2, 4)   # back to (B, nb, bs, H, Dh)
     out = out.reshape(B, Lp, H, Dh)[:, :L]
 
     attn = None
@@ -245,8 +269,13 @@ class MultiHeadAttention1D(nn.Module):
                                           self.pallas_block)
             return out.reshape(B, L, self.out_features), None
 
+        # RECONVAT_ATTN_LAYOUT=head opts into the head-major context
+        # stacks (measured tie vs the default, see banded_attention;
+        # read at trace time)
+        seq_major = os.environ.get("RECONVAT_ATTN_LAYOUT", "seq") != "head"
         out, attn = banded_attention(q, k, v, rel, self.kernel_size,
-                                     self.block_size, self.return_probs)
+                                     self.block_size, self.return_probs,
+                                     seq_major=seq_major)
         out = out.reshape(B, L, self.out_features)
         if attn is None:
             return out, None
